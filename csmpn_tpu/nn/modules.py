@@ -1,0 +1,219 @@
+"""Clifford-equivariant neural layers (flax.linen), TPU-first.
+
+Functional re-design of the reference layer zoo
+(`csmpn/models/cegnn_utils.py`): MVLinear (:287), MVSiLU (:53),
+NormalizationLayer (:34), MVLayerNorm (:86), SteerableGeometricProductLayer
+(:98), CEMLP (:160).  Multivector activations are laid out as
+``(..., channels, n_blades)`` with the blade axis last.
+
+TPU notes:
+  * per-grade parameters are expanded to blade resolution with a static
+    gather (``algebra.expand_per_grade``) instead of repeat_interleave —
+    XLA folds the gather into the consumer;
+  * all per-grade invariants (norms / mag2) are computed with one masked
+    matmul over the blade axis (``algebra.norms_cat``) rather than dim+1
+    slice-reductions;
+  * the weighted geometric product is a single batched contraction that XLA
+    maps onto the MXU; a fused Pallas kernel backs it on TPU for the hot
+    configuration (see ops/gp_kernel.py).
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..algebra.clifford import CliffordAlgebra
+
+EPS = 1e-6  # reference cegnn_utils.py:5
+
+
+def normal_init(std: float):
+    def init(key, shape, dtype=jnp.float32):
+        return std * jax.random.normal(key, shape, dtype)
+    return init
+
+
+class MVLinear(nn.Module):
+    """Channel-mixing linear map on multivectors (reference MVLinear :287-339).
+
+    With ``subspaces=True`` a separate weight is learned per grade and shared
+    across the blades of that grade; with ``subspaces=False`` it is a plain
+    channel matmul applied identically to every blade.
+    """
+
+    algebra: CliffordAlgebra
+    in_features: int
+    out_features: int
+    subspaces: bool = True
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        alg = self.algebra
+        init = normal_init(1.0 / math.sqrt(self.in_features))
+        if self.subspaces:
+            w = self.param(
+                "weight", init,
+                (self.out_features, self.in_features, alg.n_subspaces))
+            w_full = w[..., alg.blade_to_grade]  # (out, in, n_blades)
+            out = jnp.einsum("...mi,nmi->...ni", x, w_full)
+        else:
+            w = self.param("weight", init,
+                           (self.out_features, self.in_features))
+            out = jnp.einsum("...mi,nm->...ni", x, w)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros,
+                           (self.out_features, 1))
+            # scalar-blade bias embedded at blade 0
+            out = out.at[..., :1].add(b)
+        return out
+
+
+class MVSiLU(nn.Module):
+    """Gated SiLU on multivectors (reference MVSiLU :53-83): the gate is a
+    sigmoid of an affine function of per-grade invariants (scalar blade
+    passthrough + per-grade mag2 or norm)."""
+
+    algebra: CliffordAlgebra
+    channels: int
+    invariant: str = "mag2"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        alg = self.algebra
+        a = self.param("a", nn.initializers.ones,
+                       (self.channels, alg.dim + 1))
+        b = self.param("b", nn.initializers.zeros,
+                       (self.channels, alg.dim + 1))
+        if self.invariant == "mag2":
+            inv = alg.qs_cat(x)
+        elif self.invariant == "norm":
+            inv = alg.norms_cat(x)
+        else:
+            raise ValueError(f"Invariant {self.invariant} not recognized.")
+        # grade-0 entry is the raw scalar blade value, not its invariant
+        inv = jnp.concatenate([x[..., :1], inv[..., 1:]], axis=-1)
+        gate = a * inv + b
+        gate = gate[..., alg.blade_to_grade]
+        return jax.nn.sigmoid(gate) * x
+
+
+class NormalizationLayer(nn.Module):
+    """Per-grade norm normalization with a learned interpolation gate
+    (reference NormalizationLayer :34-51)."""
+
+    algebra: CliffordAlgebra
+    features: int
+    init_scale: float = 0.0  # named `init` in the reference ctor (:35)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        alg = self.algebra
+        a = self.param(
+            "a", nn.initializers.constant(self.init_scale),
+            (self.features, alg.n_subspaces))
+        norms = alg.norms_cat(x)                      # (..., C, n_subspaces)
+        s_a = jax.nn.sigmoid(a)
+        norms = s_a * (norms - 1.0) + 1.0             # interpolate to 1
+        norms = norms[..., alg.blade_to_grade]
+        return x / (norms + EPS)
+
+
+class MVLayerNorm(nn.Module):
+    """Divide by the channel-mean full-multivector norm, learned per-channel
+    scale (reference MVLayerNorm :86-96)."""
+
+    algebra: CliffordAlgebra
+    channels: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        a = self.param("a", nn.initializers.ones, (self.channels,))
+        norm = self.algebra.norm(x)                   # (..., C, 1)
+        norm = jnp.mean(norm, axis=-2, keepdims=True) + EPS
+        return a[:, None] * x / norm
+
+
+class SteerableGeometricProductLayer(nn.Module):
+    """Fully-parameterized geometric product
+    ``x (x)_w normalize(W x)`` (reference SGP :98-155).
+
+    A weight is learned per (channel, nonzero grade-triple path); the
+    blade-resolution weighted Cayley tensor is formed by a static gather and
+    contracted in a single einsum — the FLOPs hot spot of the network
+    (reference einsum at cegnn_utils.py:151).
+    """
+
+    algebra: CliffordAlgebra
+    features: int
+    include_first_order: bool = True
+    normalization_init: Optional[float] = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        alg = self.algebra
+        paths = alg.geometric_product_paths           # (d+1, d+1, d+1) bool
+        n_paths = int(paths.sum())
+        w = self.param(
+            "weight", normal_init(1.0 / math.sqrt(alg.dim + 1)),
+            (self.features, n_paths))
+
+        x_right = MVLinear(alg, self.features, self.features,
+                           use_bias=False, name="linear_right")(x)
+        if self.normalization_init is not None:
+            x_right = NormalizationLayer(
+                alg, self.features, self.normalization_init,
+                name="normalization")(x_right)
+
+        # scatter the per-path weights into the (d+1)^3 grade cube, then
+        # expand to blade resolution with three static gathers
+        idx = np.argwhere(paths)                      # (n_paths, 3) static
+        cube = jnp.zeros((self.features, alg.dim + 1, alg.dim + 1,
+                          alg.dim + 1), dtype=w.dtype)
+        cube = cube.at[:, idx[:, 0], idx[:, 1], idx[:, 2]].set(w)
+        g = alg.blade_to_grade
+        w_blades = cube[:, g][:, :, g][:, :, :, g]    # (C, nb, nb, nb)
+        weighted_cayley = jnp.asarray(alg.cayley, dtype=x.dtype) * w_blades
+
+        out = jnp.einsum("...ni,nijk,...nk->...nj", x, weighted_cayley,
+                         x_right)
+        if self.include_first_order:
+            first = MVLinear(alg, self.features, self.features,
+                             use_bias=True, name="linear_left")(x)
+            out = (first + out) / math.sqrt(2)
+        return out
+
+
+class CEMLP(nn.Module):
+    """Stack of [MVLinear -> MVSiLU -> SGP -> MVLayerNorm] blocks
+    (reference CEMLP :160-213); the shared message/update network."""
+
+    algebra: CliffordAlgebra
+    in_features: int
+    hidden_features: int
+    out_features: int
+    n_layers: int = 2
+    normalization_init: Optional[float] = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        alg = self.algebra
+        widths = (
+            [self.in_features]
+            + [self.hidden_features] * (self.n_layers - 1)
+            + [self.out_features]
+        )
+        for i in range(self.n_layers):
+            f_in, f_out = widths[i], widths[i + 1]
+            x = MVLinear(alg, f_in, f_out, name=f"linear_{i}")(x)
+            x = MVSiLU(alg, f_out, name=f"silu_{i}")(x)
+            x = SteerableGeometricProductLayer(
+                alg, f_out, normalization_init=self.normalization_init,
+                name=f"gp_{i}")(x)
+            x = MVLayerNorm(alg, f_out, name=f"norm_{i}")(x)
+        return x
