@@ -1,0 +1,279 @@
+"""Step-based Trainer (reference `engineer/trainer/trainer.py:128-405`),
+functional JAX edition.
+
+The training loop keeps the reference's contract — step budget, periodic
+validation, checkpoint-improvement-triggered test pass, s_it timing, NaN
+detection, max_time guard — but the step itself is a single jitted
+value_and_grad + optax update, optionally sharded over a device mesh
+(data-parallel via NamedSharding; the DDP equivalent, SURVEY.md §5).
+"""
+from __future__ import annotations
+
+import datetime
+import time
+import warnings
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .checkpoint import Checkpoint
+from .loggers import ConsoleLogger
+from .metrics import Loss, MetricCollection
+
+
+def human_format(num: float) -> str:
+    num = float(f"{num:.3g}")
+    magnitude = 0
+    while abs(num) >= 1000:
+        magnitude += 1
+        num /= 1000.0
+    suffix = ["", "K", "M", "B", "T"][magnitude]
+    return f"{num:f}".rstrip("0").rstrip(".") + suffix
+
+
+def count_parameters(params) -> int:
+    return sum(int(x.size) for x in jax.tree.leaves(params))
+
+
+def _parse_max_time(time_str: Optional[str]):
+    if time_str is None:
+        return None
+    days = 0
+    if "-" in time_str:
+        d, time_str = time_str.split("-")
+        days = int(d)
+    parts = [int(p) for p in time_str.split(":")]
+    while len(parts) < 3:
+        parts.insert(0, 0)
+    h, m, s = parts
+    return datetime.timedelta(days=days, hours=h, minutes=m, seconds=s)
+
+
+class Trainer:
+    def __init__(
+        self,
+        scheduler: Any = None,           # optax schedule (informational)
+        logger: Any = None,
+        max_steps: int = 0,
+        max_time: Optional[str] = None,
+        limit_val_batches: float = float("inf"),
+        val_check_interval: int = 1024,
+        print_interval: int = 32,
+        fast_dev_run: bool = False,
+        callbacks: Optional[list] = None,
+        log_interval: int = 256,
+        checkpoint: Any = None,
+        test_only: bool = False,
+        skip_initial_eval: bool = False,
+        mesh: Any = None,
+        donate: bool = True,
+    ):
+        callbacks = list(callbacks or [])
+        if logger is None:
+            logger = ConsoleLogger()
+        if any(isinstance(c, Checkpoint) for c in callbacks):
+            assert checkpoint is None, "Checkpoint already in callbacks."
+            checkpoint = next(c for c in callbacks
+                              if isinstance(c, Checkpoint))
+        elif checkpoint is None:
+            checkpoint = Checkpoint("val/loss")
+            callbacks.append(checkpoint)
+        elif isinstance(checkpoint, str):
+            checkpoint = Checkpoint(dir=checkpoint)
+            callbacks.append(checkpoint)
+
+        if fast_dev_run:
+            print("Development run: limiting to 1 step / 1 val batch.")
+            max_steps = 1
+            limit_val_batches = 1
+
+        self.starting_time = datetime.datetime.now()
+        self.max_time = _parse_max_time(max_time)
+        self.checkpoint = checkpoint
+        self.callbacks = callbacks
+        self.scheduler = scheduler
+        self.max_steps = max_steps
+        self.limit_val_batches = limit_val_batches
+        self.val_check_interval = val_check_interval
+        self.logger = logger
+        self.print_interval = print_interval
+        self.log_interval = log_interval
+        self.test_only = test_only
+        self.skip_initial_eval = skip_initial_eval
+        self.mesh = mesh
+        self.donate = donate
+
+        self.global_step = 0
+        self.current_epoch = 0
+        self.should_raise: Optional[Exception] = None
+        self.should_test = False
+
+        self._train_step_fn = None
+        self._eval_step_fn = None
+
+    # ------------------------------------------------------------------ utils
+
+    def _add_prefix(self, metrics: Dict, prefix: str) -> Dict:
+        return {f"{prefix}/{k}": v for k, v in metrics.items()}
+
+    def _make_metrics(self, model) -> MetricCollection:
+        names = getattr(model, "metric_names", ("loss",))
+        if callable(names):
+            names = names()
+        return MetricCollection({n: Loss() for n in names})
+
+    def _shard_batch(self, batch):
+        if self.mesh is None:
+            return batch
+        from ..parallel.mesh import shard_batch
+
+        return shard_batch(batch, self.mesh)
+
+    def _build_steps(self, model, optimizer):
+        def train_step(params, opt_state, batch, step):
+            def loss_fn(p):
+                loss, outputs = model.apply(p, batch, step, "train")
+                return loss, outputs
+
+            (loss, outputs), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, outputs
+
+        def eval_step(params, batch, step):
+            return model.apply(params, batch, step, "val")
+
+        donate = (0, 1) if self.donate else ()
+        self._train_step_fn = jax.jit(train_step, donate_argnums=donate)
+        self._eval_step_fn = jax.jit(eval_step)
+
+    # ------------------------------------------------------------------- loop
+
+    @property
+    def should_stop(self) -> bool:
+        if (self.max_time is not None
+                and self.max_time
+                < datetime.datetime.now() - self.starting_time):
+            print("Stopping due to max_time.")
+            return True
+        if self.max_steps is not None and self.global_step >= self.max_steps:
+            print("Stopping due to max_steps.")
+            return True
+        return False
+
+    def test_loop(self, params, test_loader, validation=False):
+        metrics = self._test_metrics
+        assert metrics.empty()
+        prefix = "val" if validation else "test"
+        label = "Validation" if validation else "Testing"
+        num_iterations = int(min(len(test_loader), self.limit_val_batches))
+        t0 = time.time()
+        for batch_idx, batch in enumerate(test_loader):
+            if batch_idx >= self.limit_val_batches:
+                break
+            batch = self._shard_batch(batch)
+            _, outputs = self._eval_step_fn(params, batch, batch_idx)
+            metrics.update(**jax.device_get(outputs))
+            if batch_idx % self.print_interval == 0:
+                print(f"Step: {self.global_step} ({label}) "
+                      f"Batch: {batch_idx} / {num_iterations}")
+        s_it = (time.time() - t0) / max(num_iterations, 1)
+        computed = metrics.compute()
+        metrics.reset()
+        computed["s_it"] = s_it
+        computed = self._add_prefix(computed, prefix)
+        if self.logger:
+            self.logger.log_metrics(computed, step=self.global_step)
+        if validation:
+            for callback in self.callbacks:
+                callback.on_test_end(self, self._state, computed)
+        return computed
+
+    def train_step(self, batch):
+        params, opt_state = self._state
+        batch = self._shard_batch(batch)
+        params, opt_state, loss, outputs = self._train_step_fn(
+            params, opt_state, batch, self.global_step)
+        self._state = (params, opt_state)
+        outputs = jax.device_get(outputs)
+        self._train_metrics.update(**outputs)
+        loss_val = float(jax.device_get(loss))
+        if np.isnan(loss_val):
+            self.should_raise = ValueError("Loss is NaN.")
+        if self.global_step % self.print_interval == 0:
+            print(f"Step: {self.global_step} (Training) Loss: "
+                  f"{loss_val:.4f}")
+
+    def fit(self, model, params, optimizer, train_loader, val_loader=None,
+            test_loader=None):
+        """model: flax Module; params: initialized variables; optimizer:
+        optax GradientTransformation."""
+        opt_state = optimizer.init(params)
+        self._state = (params, opt_state)
+        self._build_steps(model, optimizer)
+        self._train_metrics = self._make_metrics(model)
+        self._test_metrics = self._make_metrics(model)
+
+        print("\nModel Summary\n---")
+        print(model)
+        print(f"Total parameters: "
+              f"{human_format(count_parameters(params))}\n")
+
+        if self.checkpoint:
+            self._state = self.checkpoint.restore(self, self._state)
+
+        if self.test_only:
+            print("Testing mode.")
+            self.test_loop(self._state[0], test_loader, validation=False)
+            return self._state[0]
+
+        t0 = time.time()
+        last_global_step = self.global_step
+
+        while not self.should_stop:
+            for batch in train_loader:
+                self.train_step(batch)
+
+                if self.global_step % self.log_interval == 0:
+                    t1 = time.time()
+                    train_metrics = self._train_metrics.compute()
+                    self._train_metrics.reset()
+                    denom = self.global_step + 1 - last_global_step
+                    train_metrics["s_it"] = (t1 - t0) / max(denom, 1)
+                    if self.scheduler is not None:
+                        train_metrics["lr"] = float(
+                            self.scheduler(self.global_step))
+                    train_metrics["epoch"] = self.current_epoch
+                    if self.logger:
+                        self.logger.log_metrics(
+                            self._add_prefix(train_metrics, "train"),
+                            step=self.global_step)
+                    t0 = time.time()
+                    last_global_step = self.global_step
+
+                should_validate = (
+                    self.global_step % self.val_check_interval == 0
+                    and (self.global_step > 0
+                         if self.skip_initial_eval else True))
+                if should_validate:
+                    if val_loader is not None and self.limit_val_batches > 0:
+                        self.test_loop(self._state[0], val_loader,
+                                       validation=True)
+                    t0 = time.time()
+                    last_global_step = self.global_step
+                    if self.should_test and test_loader is not None:
+                        self.test_loop(self._state[0], test_loader,
+                                       validation=False)
+                        self.should_test = False
+
+                self.global_step += 1
+                if self.should_raise is not None:
+                    raise self.should_raise
+                if self.should_stop:
+                    break
+            self.current_epoch += 1
+        return self._state[0]

@@ -1,0 +1,54 @@
+"""Shared task-entry composition (reference entry scripts
+csmpn/{hulls,motion,md17,nba}.py follow one pattern: compose
+dataset+model+optimizer+scheduler from config, call trainer.fit)."""
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+
+from ..engineer.config import load_module
+from ..engineer.loggers import ConsoleLogger
+from ..engineer.schedulers import cosine_annealing_schedule
+from ..engineer.trainer import Trainer
+from ..parallel.mesh import make_mesh
+
+
+def run_task(config: Dict) -> None:
+    dataset_cfg = dict(config["dataset"])
+    dataset = load_module(dataset_cfg.pop("module"))(**dataset_cfg)
+
+    model_cfg = dict(config["model"])
+    model_cls = load_module(model_cfg.pop("module"))
+    model = model_cls(spec=dataset.spec, **model_cfg)
+
+    train_loader = dataset.train_loader()
+    val_loader = dataset.val_loader()
+    test_loader = dataset.test_loader()
+
+    batch = next(iter(train_loader))
+    params = model.init(config["prng_key"], batch)
+
+    steps = config["trainer"]["max_steps"]
+    opt_cfg = dict(config["optimizer"])
+    # cosine warmup (steps/64) -> plateau -> decay (last steps/4), the
+    # schedule every reference entry script builds (e.g. md17.py:30-36)
+    schedule = cosine_annealing_schedule(
+        opt_cfg.get("lr", 1e-3), steps,
+        warmup_steps=int(steps / 64), decay_steps=int(steps / 4))
+    optimizer = load_module(opt_cfg.pop("module"))(
+        schedule=schedule, **opt_cfg)
+
+    trainer_cfg = dict(config["trainer"])
+    trainer_cfg.pop("module", None)
+    mesh = None
+    if config.get("data_parallel") and jax.device_count() > 1:
+        mesh = make_mesh()
+    trainer = Trainer(
+        scheduler=schedule,
+        logger=ConsoleLogger(run_name=config.get("run_name", "run")),
+        mesh=mesh,
+        **trainer_cfg,
+    )
+    trainer.fit(model, params, optimizer, train_loader,
+                val_loader=val_loader, test_loader=test_loader)

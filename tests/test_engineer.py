@@ -1,0 +1,151 @@
+"""Experiment-framework tests: config reflection, schedulers, metrics,
+checkpointing, sweep expansion."""
+import math
+import os
+
+import numpy as np
+import pytest
+
+from csmpn_tpu.engineer.config import (
+    get_default_args,
+    load_module,
+    merge_dict,
+    parse_args,
+    unflatten,
+)
+from csmpn_tpu.engineer.metrics import (
+    Accuracy,
+    BinaryAUROC,
+    Loss,
+    MetricCollection,
+    RMSRE,
+    RRMSE,
+)
+from csmpn_tpu.engineer.schedulers import cosine_annealing_schedule
+from csmpn_tpu.engineer.sweep import build_commands, expand_grid
+
+
+class _Dummy:
+    def __init__(self, a: int = 3, lr=1e-3, flag: bool = False,
+                 name: str = "x"):
+        self.a, self.lr, self.flag, self.name = a, lr, flag, name
+
+
+class TestConfig:
+    def test_merge_and_unflatten(self):
+        a = {"x": {"y": 1, "z": 2}, "k": 3}
+        b = {"x": {"y": 9}}
+        assert merge_dict(a, b) == {"x": {"y": 9, "z": 2}, "k": 3}
+        assert unflatten({"a.b.c": 1, "a.d": 2}) == {
+            "a": {"b": {"c": 1}, "d": 2}}
+
+    def test_reflection_defaults(self):
+        args = get_default_args(_Dummy.__init__)
+        assert args == {"a": 3, "lr": 1e-3, "flag": False, "name": "x"}
+
+    def test_parse_module_and_overrides(self, tmp_path):
+        cfg = tmp_path / "base.yaml"
+        cfg.write_text("trainer:\n  module: csmpn_tpu.engineer.Trainer\n"
+                       "  max_steps: 100\n")
+        config, name, exp = parse_args([
+            "prog.py", "-C", str(cfg),
+            "--model.module=tests.test_engineer._Dummy",
+            "--model.a=7", "--model.lr=3e-3", "--model.flag=true",
+            "--trainer.max_steps=5",
+        ])
+        assert config["model"]["module"] == "tests.test_engineer._Dummy"
+        assert config["model"]["a"] == 7
+        assert config["model"]["lr"] == pytest.approx(3e-3)
+        assert config["model"]["flag"] is True
+        assert config["trainer"]["max_steps"] == 5
+        assert config["seed"] == 42
+
+    def test_sweep_pseudo_args_spliced(self, tmp_path):
+        config, _, _ = parse_args([
+            "prog.py",
+            "--_combo='--model.module=tests.test_engineer._Dummy "
+            "--model.a=9'",
+        ])
+        assert config["model"]["a"] == 9
+
+    def test_unknown_key_raises(self, tmp_path):
+        cfg = tmp_path / "bad.yaml"
+        cfg.write_text("model:\n  module: tests.test_engineer._Dummy\n"
+                       "  bogus: 1\n")
+        with pytest.raises(KeyError):
+            parse_args(["prog.py", "-C", str(cfg)])
+
+    def test_load_module(self):
+        fn = load_module("csmpn_tpu.engineer.optim.adam")
+        assert callable(fn)
+
+
+class TestScheduler:
+    def test_phases(self):
+        s = cosine_annealing_schedule(1.0, max_steps=128, warmup_steps=16,
+                                      decay_steps=32)
+        # warmup starts at 0, reaches ~1 at warmup end
+        assert float(s(0)) == pytest.approx(0.0, abs=1e-6)
+        assert float(s(8)) == pytest.approx(0.5, abs=1e-6)
+        # plateau
+        assert float(s(50)) == pytest.approx(1.0)
+        # decay ends at 0
+        assert float(s(127)) == pytest.approx(
+            0.5 + 0.5 * math.cos(math.pi * 31 / 32), abs=1e-6)
+
+    def test_no_warmup(self):
+        s = cosine_annealing_schedule(2.0, max_steps=10)
+        assert float(s(0)) == pytest.approx(2.0)
+        assert float(s(9)) == pytest.approx(2.0)
+
+
+class TestMetrics:
+    def test_loss_mean(self):
+        m = Loss()
+        m.update(np.array([1.0, 3.0]))
+        m.update(np.array([5.0]))
+        assert m.compute() == pytest.approx(3.0)
+        m.reset()
+        assert m.empty()
+
+    def test_collection_validates_names(self):
+        c = MetricCollection({"loss": Loss()})
+        with pytest.raises(ValueError):
+            c.update(unknown=np.array([1.0]))
+
+    def test_rrmse(self):
+        m = RRMSE()
+        m.update((np.array([4.0, 4.0]), np.array([16.0, 16.0])))
+        assert m.compute() == pytest.approx(0.5)
+
+    def test_auroc_perfect(self):
+        m = BinaryAUROC()
+        m.update((np.array([0.9, 0.8, 0.2, 0.1]),
+                  np.array([1, 1, 0, 0])))
+        assert m.compute() == pytest.approx(1.0)
+
+    def test_auroc_interleaved(self):
+        # points (0,0)->(0,.5)->(.5,.5)->(.5,1)->(1,1): AUC = 0.75
+        m = BinaryAUROC()
+        m.update((np.array([0.9, 0.8, 0.7, 0.6]),
+                  np.array([1, 0, 1, 0])))
+        assert float(m.compute()) == pytest.approx(0.75)
+
+
+class TestSweep:
+    def test_grid_expansion(self, tmp_path):
+        cfg = {
+            "program": "csmpn_tpu/tasks/hulls.py",
+            "command": ["${env}", "${interpreter}", "${program}",
+                        "--fixed=1", "${args}"],
+            "parameters": {
+                "lr": {"values": [0.1, 0.2]},
+                "bs": {"values": [8]},
+            },
+        }
+        combos = expand_grid(cfg)
+        assert len(combos) == 2
+        cmds = build_commands(cfg, ["--extra=x"])
+        assert all("--fixed=1" in c and "--extra=x" in c for c in cmds)
+        assert any("--lr=0.1" in c for c in cmds)
+        assert any("--lr=0.2" in c for c in cmds)

@@ -1,0 +1,108 @@
+"""End-to-end training integration: tiny hulls run through the full
+Trainer (jitted train step, validation, checkpoint-triggered test,
+restore)."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from csmpn_tpu.data.hulls import ConvexHullDataset
+from csmpn_tpu.engineer.checkpoint import Checkpoint
+from csmpn_tpu.engineer.loggers import ConsoleLogger
+from csmpn_tpu.engineer.optim import adam
+from csmpn_tpu.engineer.schedulers import cosine_annealing_schedule
+from csmpn_tpu.engineer.trainer import Trainer
+from csmpn_tpu.models.hulls import HullsModel
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    os.environ["DATAROOT"] = str(tmp_path_factory.mktemp("dataroot"))
+    return ConvexHullDataset(num_samples=16, batch_size=4,
+                             num_val_samples=8)
+
+
+@pytest.fixture(scope="module")
+def model(dataset):
+    return HullsModel(spec=dataset.spec, hidden_features=8, num_layers=1)
+
+
+class TestLoader:
+    def test_shapes_and_drop_last(self, dataset):
+        loader = dataset.train_loader()
+        batches = list(loader)
+        assert len(batches) == 4
+        for b in batches:
+            assert b.edge_index.shape[0] == 4
+        # shuffling changes order between epochs
+        first = batches[0].targets["target"]
+        second = next(iter(loader)).targets["target"]
+        assert first.shape == second.shape
+
+    def test_cache_roundtrip(self, dataset):
+        # dataset was saved to npz; reload must produce identical arrays
+        d2 = ConvexHullDataset(num_samples=16, batch_size=4,
+                               num_val_samples=8)
+        np.testing.assert_array_equal(
+            d2.train_dataset.arrays.edge_index,
+            dataset.train_dataset.arrays.edge_index)
+
+
+class TestTraining:
+    def test_loss_decreases_and_checkpoints(self, dataset, model, tmp_path):
+        train_loader = dataset.train_loader()
+        batch = next(iter(train_loader))
+        params = model.init(jax.random.PRNGKey(0), batch)
+
+        steps = 24
+        schedule = cosine_annealing_schedule(5e-3, steps, 2, 4)
+        optimizer = adam(schedule=schedule)
+        logger = ConsoleLogger(dir=str(tmp_path / "run"))
+        trainer = Trainer(
+            scheduler=schedule, logger=logger, max_steps=steps,
+            val_check_interval=10, print_interval=10, log_interval=10,
+            limit_val_batches=2,
+        )
+        # capture initial loss
+        loss0, _ = model.apply(params, batch)
+        final_params = trainer.fit(
+            model, params, optimizer, train_loader,
+            val_loader=dataset.val_loader(),
+            test_loader=dataset.test_loader())
+        loss1, _ = model.apply(final_params, batch)
+        assert float(loss1) < float(loss0)
+        # checkpoint written on val improvement
+        ckpt_path = os.path.join(logger.dir, "best_val_loss")
+        assert os.path.exists(ckpt_path)
+
+        # restore path: build a fresh trainer from the checkpoint
+        ckpt = Checkpoint(dir=ckpt_path)
+        trainer2 = Trainer(logger=logger, max_steps=steps,
+                           checkpoint=None, callbacks=[ckpt])
+        state = ckpt.restore(trainer2, (params, optimizer.init(params)))
+        assert trainer2.global_step > 0
+        restored_loss, _ = model.apply(state[0], batch)
+        assert np.isfinite(float(restored_loss))
+
+    def test_nan_detection(self, dataset, model):
+        train_loader = dataset.train_loader()
+        batch = next(iter(train_loader))
+        params = model.init(jax.random.PRNGKey(1), batch)
+        # poison the parameters -> NaN loss must raise
+        bad = jax.tree.map(lambda x: x * np.nan, params)
+        trainer = Trainer(max_steps=4, val_check_interval=1000,
+                          logger=ConsoleLogger(dir=None))
+        with pytest.raises(ValueError, match="NaN"):
+            trainer.fit(model, bad, adam(lr=1e-3), train_loader)
+
+    def test_fast_dev_run(self, dataset, model):
+        train_loader = dataset.train_loader()
+        batch = next(iter(train_loader))
+        params = model.init(jax.random.PRNGKey(2), batch)
+        trainer = Trainer(fast_dev_run=True,
+                          logger=ConsoleLogger(dir=None))
+        trainer.fit(model, params, adam(lr=1e-3), train_loader,
+                    val_loader=dataset.val_loader())
+        assert trainer.global_step >= 1
