@@ -73,6 +73,7 @@ class SimplexEmbedding(nn.Module):
     num_hidden: int
     max_dim: int = 2
     out_channels: Optional[int] = None  # per-dim output channels; default hidden
+    net_builder: Optional[Callable] = None  # (d, in_feats, out_ch) -> Module
 
     @nn.compact
     def __call__(self, batch: SimplicialBatch,
@@ -97,7 +98,9 @@ class SimplexEmbedding(nn.Module):
                 g = g.reshape(B, S, P, (d + 1) * g.shape[4], g.shape[5])
                 chans.append(alg.embed_grade(g, grade))
             feats = jnp.concatenate(chans, axis=-2)  # (B,S,P,(d+1)*num_input,nb)
-            if d == 0:
+            if self.net_builder is not None:
+                net = self.net_builder(d, (d + 1) * self.num_input, out_ch)
+            elif d == 0:
                 net = MVLinear(alg, self.num_input, out_ch,
                                subspaces=False, name="embed_0")
             else:

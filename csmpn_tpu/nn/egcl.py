@@ -11,6 +11,10 @@ Semantics preserved from the reference:
   * aggregation "mean" divides by in-degree, empty segments give 0;
   * update input is ``concat(h, agg, node_attr)`` with a residual
     (cegnn_utils.py:264-275).
+
+The layer is written setup-style with ``message``/``update`` as addressable
+methods so the edge-partitioned multi-chip path (parallel/edge_partition.py)
+can drive the same parameters inside shard_map with local edge/node slabs.
 """
 from __future__ import annotations
 
@@ -36,7 +40,49 @@ class EGCL(nn.Module):
     aggr: str = "mean"
     edges_sorted: bool = True
 
-    @nn.compact
+    def setup(self):
+        self.edge_model = CEMLP(
+            self.algebra,
+            self.in_features + self.edge_attr_features,
+            self.hidden_features,
+            self.out_features,
+            normalization_init=self.normalization_init,
+        )
+        self.node_model = CEMLP(
+            self.algebra,
+            self.in_features + self.out_features + self.node_attr_features,
+            self.hidden_features,
+            self.out_features,
+            normalization_init=self.normalization_init,
+        )
+
+    def message(self, h_i: jnp.ndarray, h_j: jnp.ndarray,
+                edge_attr: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """Per-edge message: edge CEMLP on (h_target - h_source ++ attr)."""
+        msg_in = h_i - h_j
+        if edge_attr is not None:
+            msg_in = jnp.concatenate([msg_in, edge_attr], axis=1)
+        return self.edge_model(msg_in)
+
+    def aggregate(self, msg: jnp.ndarray, dst: jnp.ndarray, num_nodes: int,
+                  edge_mask: Optional[jnp.ndarray] = None,
+                  indices_are_sorted: Optional[bool] = None) -> jnp.ndarray:
+        sorted_ = (self.edges_sorted if indices_are_sorted is None
+                   else indices_are_sorted)
+        reduce = segment_mean if self.aggr == "mean" else segment_sum
+        return reduce(msg, dst, num_nodes, indices_are_sorted=sorted_,
+                      mask=edge_mask)
+
+    def update(self, h: jnp.ndarray, agg: jnp.ndarray,
+               node_attr: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        upd_in = [h, agg]
+        if node_attr is not None:
+            upd_in.append(node_attr)
+        out = self.node_model(jnp.concatenate(upd_in, axis=1))
+        if self.residual:
+            out = h + out
+        return out
+
     def __call__(
         self,
         h: jnp.ndarray,               # (N, C, n_blades)
@@ -45,41 +91,10 @@ class EGCL(nn.Module):
         node_attr: Optional[jnp.ndarray] = None,   # (N, C_n, n_blades)
         edge_mask: Optional[jnp.ndarray] = None,   # (E,) bool
     ) -> jnp.ndarray:
-        alg = self.algebra
         num_nodes = h.shape[0]
         src, dst = edge_index[0], edge_index[1]
-
         h_i = jnp.take(h, dst, axis=0)   # target features
         h_j = jnp.take(h, src, axis=0)   # source features
-        msg_in = h_i - h_j
-        if edge_attr is not None:
-            msg_in = jnp.concatenate([msg_in, edge_attr], axis=1)
-
-        msg = CEMLP(
-            alg,
-            self.in_features + self.edge_attr_features,
-            self.hidden_features,
-            self.out_features,
-            normalization_init=self.normalization_init,
-            name="edge_model",
-        )(msg_in)
-
-        reduce = segment_mean if self.aggr == "mean" else segment_sum
-        agg = reduce(msg, dst, num_nodes,
-                     indices_are_sorted=self.edges_sorted, mask=edge_mask)
-
-        upd_in = [h, agg]
-        if node_attr is not None:
-            upd_in.append(node_attr)
-        out = CEMLP(
-            alg,
-            self.in_features + self.out_features + self.node_attr_features,
-            self.hidden_features,
-            self.out_features,
-            normalization_init=self.normalization_init,
-            name="node_model",
-        )(jnp.concatenate(upd_in, axis=1))
-
-        if self.residual:
-            out = h + out
-        return out
+        msg = self.message(h_i, h_j, edge_attr)
+        agg = self.aggregate(msg, dst, num_nodes, edge_mask)
+        return self.update(h, agg, node_attr)

@@ -1,0 +1,131 @@
+"""Edge-partitioned simplicial message passing over a device mesh.
+
+The beyond-reference scaling capability (SURVEY.md §7.1 step 6, BASELINE.md
+north star): for complexes too large to replicate (>=10M simplices), the
+incidence structure is partitioned by TARGET simplex — shard s owns the
+contiguous node range [s*N/n, (s+1)*N/n) and ALL edges targeting it (edges
+are already sorted by target, so shards are contiguous edge ranges).
+
+Inside ``shard_map`` each step is:
+  1. all_gather the node-feature slab over the mesh axis (ICI collective) —
+     source gathers may touch any shard;
+  2. local gather -> edge CEMLP -> sorted local segment reduce;
+  3. local node CEMLP update on owned nodes only.
+
+Compute (edge/node MLPs) is fully partitioned; only the feature all-gather
+is replicated traffic.  A halo-exchange variant (exchanging only boundary
+simplices via ppermute) is the planned refinement for higher efficiency at
+large N.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..nn.egcl import EGCL
+
+
+@dataclass(frozen=True)
+class EdgePartition:
+    """Per-shard edge slabs, stacked: arrays lead with the shard axis."""
+
+    edge_index: np.ndarray   # (n_shards * e_shard, 2) [source, target-global]
+    edge_mask: np.ndarray    # (n_shards * e_shard,)
+    n_shards: int
+    e_shard: int
+    nodes_per_shard: int
+
+
+def partition_edges(edge_index: np.ndarray, n_nodes: int,
+                    n_shards: int) -> EdgePartition:
+    """Partition a target-sorted (2, E) edge list into contiguous per-shard
+    slabs padded to a common length."""
+    assert n_nodes % n_shards == 0, "pad nodes to a multiple of n_shards"
+    nps = n_nodes // n_shards
+    ei = np.asarray(edge_index)
+    order = np.lexsort((ei[0], ei[1]))
+    ei = ei[:, order]
+    owner = ei[1] // nps
+    slabs = [ei[:, owner == s] for s in range(n_shards)]
+    e_shard = max(s.shape[1] for s in slabs)
+    # round up for alignment
+    e_shard = int(-(-e_shard // 8) * 8)
+    out = np.zeros((n_shards, e_shard, 2), dtype=np.int32)
+    mask = np.zeros((n_shards, e_shard), dtype=bool)
+    for s, slab in enumerate(slabs):
+        k = slab.shape[1]
+        out[s, :k, 0] = slab[0]
+        out[s, :k, 1] = slab[1]
+        # padded edges self-target the shard's first node, masked out
+        out[s, k:, 1] = s * nps
+        mask[s, :k] = True
+    return EdgePartition(out.reshape(-1, 2), mask.reshape(-1), n_shards,
+                         e_shard, nps)
+
+
+def sharded_egcl_apply(
+    egcl: EGCL,
+    params,
+    h: jnp.ndarray,                 # (N, C, nb) node features (global)
+    part: EdgePartition,
+    mesh: Mesh,
+    axis: str = "data",
+    node_attr: Optional[jnp.ndarray] = None,
+    edge_attr: Optional[jnp.ndarray] = None,  # (n_shards*e_shard, Ce, nb)
+):
+    """One EGCL layer over the partitioned complex.  Returns updated (N, C,
+    nb) node features, node-sharded over ``axis``."""
+    npshard = part.nodes_per_shard
+    has_na = node_attr is not None
+    has_ea = edge_attr is not None
+
+    def shard_fn(h_local, edges_local, mask_local, *rest):
+        it = iter(rest)
+        na_local = next(it) if has_na else None
+        ea_local = next(it) if has_ea else None
+        # (1) feature slab exchange over ICI
+        h_full = jax.lax.all_gather(h_local, axis, axis=0, tiled=True)
+        src = edges_local[:, 0]
+        dst = edges_local[:, 1]
+        h_j = jnp.take(h_full, src, axis=0)
+        h_i = jnp.take(h_full, dst, axis=0)
+        # (2) local messages + sorted local segment reduce
+        msg = egcl.apply(params, h_i, h_j, ea_local, method=EGCL.message)
+        local_dst = dst - jax.lax.axis_index(axis) * npshard
+        agg = egcl.apply(params, msg, local_dst, npshard, mask_local,
+                         method=EGCL.aggregate)
+        # (3) local node update
+        return egcl.apply(params, h_local, agg, na_local,
+                          method=EGCL.update)
+
+    args = [h, jnp.asarray(part.edge_index), jnp.asarray(part.edge_mask)]
+    specs = [P(axis), P(axis), P(axis)]
+    if has_na:
+        args.append(node_attr)
+        specs.append(P(axis))
+    if has_ea:
+        args.append(edge_attr)
+        specs.append(P(axis))
+    from jax import shard_map as _shard_map
+
+    fn = _shard_map(shard_fn, mesh=mesh, in_specs=tuple(specs),
+                    out_specs=P(axis))
+    return fn(*args)
+
+
+def make_synthetic_complex(n_nodes: int, avg_degree: int,
+                           seed: int = 0) -> np.ndarray:
+    """Target-sorted synthetic incidence list for scaling benchmarks
+    (the >=10M-simplex workload generator)."""
+    rng = np.random.RandomState(seed)
+    n_edges = n_nodes * avg_degree
+    src = rng.randint(0, n_nodes, size=n_edges, dtype=np.int64)
+    dst = rng.randint(0, n_nodes, size=n_edges, dtype=np.int64)
+    order = np.lexsort((src, dst))
+    return np.stack([src[order], dst[order]])

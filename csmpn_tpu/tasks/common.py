@@ -20,7 +20,11 @@ def run_task(config: Dict) -> None:
 
     model_cfg = dict(config["model"])
     model_cls = load_module(model_cfg.pop("module"))
-    model = model_cls(spec=dataset.spec, **model_cfg)
+    # datasets may provide data-dependent model kwargs (e.g. md17's
+    # heavy-atom count)
+    model_kwargs = dict(getattr(dataset, "model_kwargs", {}))
+    model_kwargs.update(model_cfg)
+    model = model_cls(spec=dataset.spec, **model_kwargs)
 
     train_loader = dataset.train_loader()
     val_loader = dataset.val_loader()

@@ -21,6 +21,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The env var alone is not enough: the ambient axon PJRT plugin re-pins the
+# platform at registration time, so pin it again at the config level.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent compilation cache: compiles in this environment are slow
 # (remote-compile relay), so cache them across test runs.

@@ -1,0 +1,157 @@
+"""Task-model tests: forward/grad smoke + semantic invariants for all four
+model families on tiny synthetic data."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module", autouse=True)
+def dataroot(tmp_path_factory):
+    os.environ["DATAROOT"] = str(tmp_path_factory.mktemp("dataroot"))
+
+
+def _first_batch(dataset, bs=None):
+    loader = dataset.train_loader()
+    return next(iter(loader))
+
+
+class TestMotion:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        from csmpn_tpu.data.motion import MotionDataset
+        from csmpn_tpu.models.motion import MotionModel
+
+        ds = MotionDataset(batch_size=4, num_training_samples=11,
+                           num_eval_samples=6)
+        model = MotionModel(spec=ds.spec, num_hidden=4, num_layers=1)
+        batch = _first_batch(ds)
+        params = model.init(jax.random.PRNGKey(0), batch)
+        return ds, model, batch, params
+
+    def test_shapes_and_loss(self, setup):
+        ds, model, batch, params = setup
+        loss, out = model.apply(params, batch)
+        assert np.isfinite(float(loss))
+        assert out["loss"].shape == (4 * 31,)
+
+    def test_translation_equivariance(self, setup):
+        """Translating all input positions translates the prediction:
+        the loss against translated targets must be unchanged."""
+        ds, model, batch, params = setup
+        loss0, _ = model.apply(params, batch)
+        shift = np.array([10.0, -5.0, 3.0], dtype=np.float32)
+        feats = dict(batch.features)
+        # translate positions of REAL vertex rows only
+        pos = np.array(feats["pos"])
+        pos[:, :31] += shift
+        feats = {**feats, "pos": pos}
+        tgts = {"y": batch.targets["y"] + shift}
+        moved = batch.replace(features=feats, targets=tgts)
+        loss1, _ = model.apply(params, moved)
+        np.testing.assert_allclose(float(loss1), float(loss0), rtol=1e-3)
+
+    def test_grad_finite(self, setup):
+        ds, model, batch, params = setup
+        g = jax.grad(lambda p: model.apply(p, batch)[0])(params)
+        for leaf in jax.tree.leaves(g):
+            assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+class TestMD17:
+    @pytest.fixture(scope="class", params=["benzene2017", "aspirin"])
+    def setup(self, request):
+        from csmpn_tpu.data.md17 import MD17Dataset
+        from csmpn_tpu.models.md17 import MD17Model
+
+        ds = MD17Dataset(batch_size=4, molecule_type=request.param,
+                         dis=3 if request.param == "aspirin" else 10000,
+                         num_train_samples=12, num_eval_samples=6)
+        n0 = ds.train_dataset.arrays.targets["y"].shape[1]
+        model = MD17Model(spec=ds.spec, n_vertices=n0, num_hidden=4,
+                          num_layers=1)
+        batch = _first_batch(ds)
+        params = model.init(jax.random.PRNGKey(0), batch)
+        return ds, model, batch, params
+
+    def test_forward_and_metrics(self, setup):
+        ds, model, batch, params = setup
+        loss, out = model.apply(params, batch)
+        assert np.isfinite(float(loss))
+        assert set(out) == {"loss", "ade_loss", "fde_loss"}
+        assert out["ade_loss"].shape == (4,)
+
+    def test_translation_equivariance(self, setup):
+        ds, model, batch, params = setup
+        loss0, _ = model.apply(params, batch)
+        n0 = batch.targets["y"].shape[1]
+        shift = np.array([2.0, -1.0, 0.5], dtype=np.float32)
+        feats = dict(batch.features)
+        loc = np.array(feats["loc"])
+        loc[:, :n0] += shift
+        feats = {**feats, "loc": loc}
+        tgts = {"y": batch.targets["y"] + shift}
+        moved = batch.replace(features=feats, targets=tgts)
+        loss1, _ = model.apply(params, moved)
+        np.testing.assert_allclose(float(loss1), float(loss0), rtol=1e-3)
+
+
+class TestNBA:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        from csmpn_tpu.data.nba import NBADataset
+        from csmpn_tpu.models.nba import NBAModel
+
+        ds = NBADataset(batch_size=4, mode="atk", max_samples=12)
+        model = NBAModel(spec=ds.spec, num_hidden=4, num_layers=1)
+        batch = _first_batch(ds)
+        params = model.init(jax.random.PRNGKey(0), batch)
+        return ds, model, batch, params
+
+    def test_forward_and_shapes(self, setup):
+        ds, model, batch, params = setup
+        loss, out = model.apply(params, batch)
+        assert np.isfinite(float(loss))
+        # ADE is the training loss (nba_cssmpnn.py:188)
+        np.testing.assert_allclose(np.asarray(out["loss"]),
+                                   np.asarray(out["ade_loss"]))
+
+    def test_complete_complex_counts(self, setup):
+        ds, _, batch, _ = setup
+        # complete complex over 6 vertices: 6 / 15 / 20 simplices
+        nm = np.asarray(batch.node_mask[0])
+        nt = np.asarray(batch.node_types[0])
+        assert (nm & (nt == 0)).sum() == 6
+        assert (nm & (nt == 1)).sum() == 15
+        assert (nm & (nt == 2)).sum() == 20
+
+
+class TestHullsRotation:
+    def test_rotation_invariance(self):
+        """Rotating the 5-D input point cloud must leave the predicted
+        volume (a scalar) unchanged — the core equivariance claim."""
+        from csmpn_tpu.data.hulls import ConvexHullDataset
+        from csmpn_tpu.models.hulls import HullsModel
+        from scipy.stats import ortho_group
+
+        ds = ConvexHullDataset(num_samples=8, batch_size=4,
+                               num_val_samples=4)
+        model = HullsModel(spec=ds.spec, hidden_features=4, num_layers=1)
+        batch = next(iter(ds.train_loader()))
+        params = model.init(jax.random.PRNGKey(0), batch)
+        loss0, out0 = model.apply(params, batch)
+
+        R = ortho_group.rvs(5, random_state=0).astype(np.float32)
+        while np.linalg.det(R) < 0:  # use a proper rotation
+            R = ortho_group.rvs(5).astype(np.float32)
+        feats = dict(batch.features)
+        inp = np.asarray(feats["input"])
+        feats = {**feats, "input": inp @ R.T}
+        rotated = batch.replace(features=feats)
+        loss1, out1 = model.apply(params, rotated)
+        np.testing.assert_allclose(np.asarray(out1["loss"]),
+                                   np.asarray(out0["loss"]),
+                                   rtol=5e-3, atol=1e-4)

@@ -1,0 +1,126 @@
+"""Multi-device tests on the virtual CPU mesh (SURVEY.md §4 item 5):
+data-parallel equivalence and edge-partitioned aggregation equivalence."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from csmpn_tpu.algebra import CliffordAlgebra
+from csmpn_tpu.nn.egcl import EGCL
+from csmpn_tpu.parallel.edge_partition import (
+    EdgePartition,
+    make_synthetic_complex,
+    partition_edges,
+    sharded_egcl_apply,
+)
+from csmpn_tpu.parallel.mesh import make_mesh, shard_batch
+
+ALG = CliffordAlgebra((1.0, 1.0, 1.0))
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    return make_mesh(4)
+
+
+class TestPartitionEdges:
+    def test_ownership_and_masks(self):
+        ei = make_synthetic_complex(16, 4, seed=1)
+        part = partition_edges(ei, 16, 4)
+        assert part.n_shards == 4 and part.nodes_per_shard == 4
+        edges = part.edge_index.reshape(4, part.e_shard, 2)
+        mask = part.edge_mask.reshape(4, part.e_shard)
+        total = 0
+        for s in range(4):
+            real = edges[s][mask[s]]
+            assert ((real[:, 1] // 4) == s).all()
+            total += mask[s].sum()
+        assert total == ei.shape[1]
+
+    def test_all_edges_preserved(self):
+        ei = make_synthetic_complex(8, 3, seed=2)
+        part = partition_edges(ei, 8, 2)
+        edges = part.edge_index[part.edge_mask]
+        got = sorted(map(tuple, edges))
+        want = sorted(map(tuple, np.asarray(ei).T))
+        assert got == want
+
+
+class TestEdgePartitionedEGCL:
+    def test_matches_single_device(self, mesh):
+        n_nodes, deg = 16, 4
+        ei = make_synthetic_complex(n_nodes, deg, seed=3)
+        rng = np.random.RandomState(0)
+        h = jnp.asarray(rng.randn(n_nodes, 3, 8), jnp.float32)
+
+        egcl = EGCL(ALG, 3, 4, 3, aggr="mean")
+        params = egcl.init(jax.random.PRNGKey(0), h, jnp.asarray(ei))
+        ref = egcl.apply(params, h, jnp.asarray(ei))
+
+        part = partition_edges(ei, n_nodes, 4)
+        out = sharded_egcl_apply(egcl, params, h, part, mesh)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_sum_aggregation(self, mesh):
+        n_nodes = 8
+        ei = make_synthetic_complex(n_nodes, 3, seed=4)
+        rng = np.random.RandomState(1)
+        h = jnp.asarray(rng.randn(n_nodes, 2, 8), jnp.float32)
+        egcl = EGCL(ALG, 2, 3, 2, aggr="sum")
+        params = egcl.init(jax.random.PRNGKey(1), h, jnp.asarray(ei))
+        ref = egcl.apply(params, h, jnp.asarray(ei))
+        part = partition_edges(ei, n_nodes, 4)
+        out = sharded_egcl_apply(egcl, params, h, part, mesh)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-5)
+
+
+class TestDataParallel:
+    def test_hulls_loss_matches_single_device(self, mesh, tmp_path):
+        import os
+
+        os.environ["DATAROOT"] = str(tmp_path)
+        from csmpn_tpu.data.hulls import ConvexHullDataset
+        from csmpn_tpu.models.hulls import HullsModel
+
+        ds = ConvexHullDataset(num_samples=8, batch_size=8,
+                               num_val_samples=4)
+        model = HullsModel(spec=ds.spec, hidden_features=4, num_layers=1)
+        batch = next(iter(ds.train_loader()))
+        params = model.init(jax.random.PRNGKey(0), batch)
+        loss_single, _ = jax.jit(
+            lambda p, b: model.apply(p, b))(params, batch)
+
+        sharded = shard_batch(batch, mesh)
+        from csmpn_tpu.parallel.mesh import replicate
+
+        params_r = replicate(params, mesh)
+        loss_dp, _ = jax.jit(lambda p, b: model.apply(p, b))(params_r,
+                                                             sharded)
+        np.testing.assert_allclose(float(loss_dp), float(loss_single),
+                                   rtol=1e-4)
+
+    def test_gradients_match(self, mesh, tmp_path):
+        import os
+
+        os.environ["DATAROOT"] = str(tmp_path)
+        from csmpn_tpu.data.hulls import ConvexHullDataset
+        from csmpn_tpu.models.hulls import HullsModel
+
+        ds = ConvexHullDataset(num_samples=8, batch_size=4,
+                               num_val_samples=4)
+        model = HullsModel(spec=ds.spec, hidden_features=4, num_layers=1)
+        batch = next(iter(ds.train_loader()))
+        params = model.init(jax.random.PRNGKey(0), batch)
+        grad_fn = jax.jit(jax.grad(lambda p, b: model.apply(p, b)[0]))
+        g1 = grad_fn(params, batch)
+        from csmpn_tpu.parallel.mesh import replicate
+
+        g2 = grad_fn(replicate(params, mesh), shard_batch(batch, mesh))
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=1e-5)
