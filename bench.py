@@ -85,13 +85,15 @@ def _jax_bench(steps=STEPS):
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    # warmup/compile
+    # warmup/compile; force completion with a host fetch — under remote
+    # execution relays block_until_ready can return before the device is
+    # actually done, a tiny scalar fetch cannot
     params, opt_state, loss = step(params, opt_state, h)
-    loss.block_until_ready()
+    float(loss)
     t0 = time.perf_counter()
     for _ in range(steps):
         params, opt_state, loss = step(params, opt_state, h)
-    loss.block_until_ready()
+    float(loss)  # the last loss depends on the whole chained sequence
     dt = (time.perf_counter() - t0) / steps
     edges = BATCH * N_EDGES * LAYERS
     return edges / dt, dt

@@ -258,6 +258,30 @@ class CliffordAlgebra:
     def n_product_paths(self) -> int:
         return int(self.geometric_product_paths.sum())
 
+    @functools.cached_property
+    def gp_pair_tables(self):
+        """Sparse pair form of the geometric product.
+
+        Blade products are group-like: for every (output j, right k) there
+        is exactly ONE left blade i = bitmap(j) ^ bitmap(k) with a nonzero
+        Cayley coefficient.  Returns (i_of, coeff):
+          i_of[j, k]  — the contributing left blade index, (nb, nb) int32
+          coeff[j, k] — cayley[i_of[j,k], j, k], (nb, nb) float32
+        so that (a * b)_j = sum_k coeff[j,k] * a[i_of[j,k]] * b[k].
+        This does nb^2 work instead of the dense nb^3 contraction (8x fewer
+        FLOPs for Cl(3), 32x for Cl(5)).
+        """
+        nb = self.n_blades
+        btm = self.bbo.index_to_bitmap
+        i_of = np.zeros((nb, nb), dtype=np.int32)
+        coeff = np.zeros((nb, nb), dtype=np.float32)
+        for j in range(nb):
+            for k in range(nb):
+                i = int(self.bbo.bitmap_to_index[btm[j] ^ btm[k]])
+                i_of[j, k] = i
+                coeff[j, k] = self.cayley[i, j, k]
+        return i_of, coeff
+
     def output_blades(self, blades_left, blades_right) -> np.ndarray:
         out = []
         for bl in blades_left:

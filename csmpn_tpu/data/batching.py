@@ -79,6 +79,7 @@ class SimplicialBatch:
 
     edge_index: np.ndarray          # (B, E, 2) int32 [source, target]
     edge_mask: np.ndarray           # (B, E) bool
+    edge_src_order: np.ndarray      # (B, E) int32: argsort of source ids
     node_mask: np.ndarray           # (B, N) bool
     node_types: np.ndarray          # (B, N) int32
     x_ind: np.ndarray               # (B, N, max_dim+1) int32
@@ -127,18 +128,24 @@ def pad_big_graph(
     width = big.x_ind.shape[1]
     x_ind[remap[: old_off[-1]], :width] = big.x_ind.astype(np.int32)
 
-    # edges: remap endpoints, sort by (target, source), pad
+    # edges: remap endpoints, sort by (target, source), pad.  Padded edges
+    # self-loop on the LAST node so the target column stays globally
+    # ascending (sorted-segment reductions and their backward passes rely
+    # on it); their messages are masked to zero downstream.
     ei = remap[big.edge_index]                       # (2, E_real)
     order = np.lexsort((ei[0], ei[1]))
     ei = ei[:, order]
     e_real = ei.shape[1]
     if e_real > spec.e_max:
         raise ValueError(f"edge count {e_real} exceeds spec {spec.e_max}")
-    edge_index = np.zeros((spec.e_max, 2), dtype=np.int32)
+    last = n_new - 1
+    edge_index = np.full((spec.e_max, 2), last, dtype=np.int32)
     edge_index[:e_real, 0] = ei[0]
     edge_index[:e_real, 1] = ei[1]
     edge_mask = np.zeros(spec.e_max, dtype=bool)
     edge_mask[:e_real] = True
+    # precomputed source-sort (for scatter-free gather backward)
+    src_order = np.argsort(edge_index[:, 0], kind="stable").astype(np.int32)
 
     feats = {}
     for k, v in features.items():
@@ -148,6 +155,7 @@ def pad_big_graph(
         feats[k] = out
 
     return dict(edge_index=edge_index, edge_mask=edge_mask,
+                edge_src_order=src_order,
                 node_mask=node_mask, node_types=spec.node_types.copy(),
                 x_ind=x_ind, features=feats)
 
@@ -161,6 +169,7 @@ def collate(samples: List[dict],
     return SimplicialBatch(
         edge_index=stack("edge_index"),
         edge_mask=stack("edge_mask"),
+        edge_src_order=stack("edge_src_order"),
         node_mask=stack("node_mask"),
         node_types=stack("node_types"),
         x_ind=stack("x_ind"),

@@ -26,7 +26,12 @@ import numpy as np
 from ..algebra.clifford import CliffordAlgebra
 from ..data.batching import PaddingSpec, SimplicialBatch
 from ..nn.modules import CEMLP, MVLinear
-from ..ops.segment import masked_mean
+from ..ops.segment import (
+    batched_take,
+    masked_mean,
+    take_rows_presorted,
+    take_rows_sorted_idx,
+)
 
 
 def section_slices(spec: PaddingSpec) -> List[slice]:
@@ -40,7 +45,7 @@ def gather_vertex_features(feat: jnp.ndarray, x_ind: jnp.ndarray,
     """feat: (B, N, ...) node-level; x_ind: (B, N_d, >=d+1) vertex ids.
     Returns (B, N_d, d+1, ...)."""
     idx = x_ind[:, :, : d + 1]
-    return jax.vmap(lambda f, i: f[i])(feat, idx)
+    return batched_take(feat, idx)
 
 
 def permutation_expand(x: jnp.ndarray, d: int) -> jnp.ndarray:
@@ -127,7 +132,7 @@ class SimplexTypeConditioning(nn.Module):
 
     @nn.compact
     def __call__(self, node_types_flat: jnp.ndarray,
-                 edge_index_flat: jnp.ndarray):
+                 edge_index_flat: jnp.ndarray, src_sort=None):
         alg = self.algebra
         if self.mode == "onehot":
             attr = jax.nn.one_hot(node_types_flat, self.num_types)
@@ -137,9 +142,12 @@ class SimplexTypeConditioning(nn.Module):
                 (self.num_types, self.num_types))
             attr = jnp.take(table, node_types_flat, axis=0)
         node_attr = alg.embed_grade(attr[..., None], 0)  # (BN, T, nb)
+        src, dst = edge_index_flat[0], edge_index_flat[1]
+        gathered_src = (take_rows_presorted(node_attr, src, *src_sort)
+                        if src_sort is not None
+                        else jnp.take(node_attr, src, axis=0))
         edge_attr = jnp.concatenate(
-            [node_attr[edge_index_flat[0]], node_attr[edge_index_flat[1]]],
-            axis=1)
+            [gathered_src, take_rows_sorted_idx(node_attr, dst)], axis=1)
         return node_attr, edge_attr
 
 
@@ -156,7 +164,15 @@ def flatten_graph(batch: SimplicialBatch):
     ei = batch.edge_index + offs                     # (B, E, 2)
     ei_flat = ei.reshape(B * E, 2).T                 # (2, B*E)
     edge_mask = batch.edge_mask.reshape(B * E)
-    return ei_flat, edge_mask
+    # global source-sort from the per-sample precomputed orders: per-sample
+    # sorted blocks are globally sorted because global src = b*N + local
+    order = batch.edge_src_order + (
+        jnp.arange(B, dtype=jnp.int32) * E)[:, None]
+    src_sorted = jnp.take_along_axis(
+        batch.edge_index[..., 0], batch.edge_src_order, axis=1) + (
+        jnp.arange(B, dtype=jnp.int32) * N)[:, None]
+    src_sort = (order.reshape(B * E), src_sorted.reshape(B * E))
+    return ei_flat, edge_mask, src_sort
 
 
 def center_vertex_positions(pos: jnp.ndarray, vertex_mask: jnp.ndarray):

@@ -65,10 +65,10 @@ class HullsModel(nn.Module):
         x = x * batch.node_mask[..., None, None]
         x = x.reshape(B * N, self.hidden_features, alg.n_blades)
 
-        ei_flat, edge_mask = flatten_graph(batch)
+        ei_flat, edge_mask, src_sort = flatten_graph(batch)
         node_attr, edge_attr = SimplexTypeConditioning(
             alg, num_types, mode="onehot", name="sim_type",
-        )(batch.node_types.reshape(-1), ei_flat)
+        )(batch.node_types.reshape(-1), ei_flat, src_sort=src_sort)
 
         for i in range(self.num_layers):
             x = EGCL(
@@ -79,7 +79,9 @@ class HullsModel(nn.Module):
                 residual=self.residual,
                 normalization_init=self.normalization_init,
                 aggr=self.aggr, name=f"egcl_{i}",
-            )(x, ei_flat, edge_attr, node_attr, edge_mask=edge_mask)
+            )(x, ei_flat, edge_attr, node_attr, edge_mask=edge_mask,
+               batch_shape=(B, N, batch.edge_index.shape[1]),
+               src_sort=src_sort)
 
         pred = MVLinear(alg, self.hidden_features, self.out_features,
                         name="projection")(x)

@@ -67,10 +67,10 @@ class MD17Model(nn.Module):
         x = x * batch.node_mask[..., None, None]
         x = x.reshape(B * N, self.num_hidden, alg.n_blades)
 
-        ei_flat, edge_mask = flatten_graph(batch)
+        ei_flat, edge_mask, src_sort = flatten_graph(batch)
         node_attr, edge_attr = SimplexTypeConditioning(
             alg, num_types, mode="embed", name="sim_type_embedding",
-        )(batch.node_types.reshape(-1), ei_flat)
+        )(batch.node_types.reshape(-1), ei_flat, src_sort=src_sort)
 
         # featurization: concat node_attr, fuse (md17_cssmpnn.py:135-138)
         x = MVLinear(alg, self.num_hidden + num_types, self.num_hidden,
@@ -83,7 +83,9 @@ class MD17Model(nn.Module):
                 edge_attr_features=2 * num_types,
                 node_attr_features=num_types,
                 aggr="sum", normalization_init=0.0, name=f"egcl_{i}",
-            )(x, ei_flat, edge_attr, node_attr, edge_mask=edge_mask)
+            )(x, ei_flat, edge_attr, node_attr, edge_mask=edge_mask,
+               batch_shape=(B, N, batch.edge_index.shape[1]),
+               src_sort=src_sort)
 
         out = x.reshape(B, N, self.num_hidden, alg.n_blades)[:, :n0]
         proj = CEMLP(alg, self.num_hidden, self.num_hidden,

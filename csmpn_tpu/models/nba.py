@@ -86,10 +86,10 @@ class NBAModel(nn.Module):
         x = x * batch.node_mask[..., None, None]
         x = x.reshape(B * N, self.num_input, alg.n_blades)
 
-        ei_flat, edge_mask = flatten_graph(batch)
+        ei_flat, edge_mask, src_sort = flatten_graph(batch)
         node_attr, edge_attr = SimplexTypeConditioning(
             alg, num_types, mode="embed", name="sim_type_embedding",
-        )(batch.node_types.reshape(-1), ei_flat)
+        )(batch.node_types.reshape(-1), ei_flat, src_sort=src_sort)
 
         x = MVLinear(alg, self.num_input + num_types, self.num_hidden,
                      subspaces=False, name="feature_embedding")(
@@ -101,7 +101,9 @@ class NBAModel(nn.Module):
                 edge_attr_features=2 * num_types,
                 node_attr_features=num_types,
                 aggr="sum", normalization_init=0.0, name=f"egcl_{i}",
-            )(x, ei_flat, edge_attr, node_attr, edge_mask=edge_mask)
+            )(x, ei_flat, edge_attr, node_attr, edge_mask=edge_mask,
+               batch_shape=(B, N, batch.edge_index.shape[1]),
+               src_sort=src_sort)
 
         out = x.reshape(B, N, self.num_hidden, alg.n_blades)[:, :N_NODES]
         proj = MVLinear(alg, self.num_hidden, self.num_out,

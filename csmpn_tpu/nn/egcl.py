@@ -24,7 +24,13 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..algebra.clifford import CliffordAlgebra
-from ..ops.segment import segment_mean, segment_sum
+from ..ops.segment import (
+    segment_mean,
+    segment_sum,
+    take_rows,
+    take_rows_presorted,
+    take_rows_sorted_idx,
+)
 from .modules import CEMLP
 
 
@@ -66,12 +72,13 @@ class EGCL(nn.Module):
 
     def aggregate(self, msg: jnp.ndarray, dst: jnp.ndarray, num_nodes: int,
                   edge_mask: Optional[jnp.ndarray] = None,
-                  indices_are_sorted: Optional[bool] = None) -> jnp.ndarray:
+                  indices_are_sorted: Optional[bool] = None,
+                  batch_shape=None) -> jnp.ndarray:
         sorted_ = (self.edges_sorted if indices_are_sorted is None
                    else indices_are_sorted)
         reduce = segment_mean if self.aggr == "mean" else segment_sum
         return reduce(msg, dst, num_nodes, indices_are_sorted=sorted_,
-                      mask=edge_mask)
+                      mask=edge_mask, batch_shape=batch_shape)
 
     def update(self, h: jnp.ndarray, agg: jnp.ndarray,
                node_attr: Optional[jnp.ndarray] = None) -> jnp.ndarray:
@@ -90,11 +97,20 @@ class EGCL(nn.Module):
         edge_attr: Optional[jnp.ndarray] = None,   # (E, C_e, n_blades)
         node_attr: Optional[jnp.ndarray] = None,   # (N, C_n, n_blades)
         edge_mask: Optional[jnp.ndarray] = None,   # (E,) bool
+        batch_shape=None,  # static (B, N, E) for stacked small graphs
+        src_sort=None,     # precomputed (order, sorted_ids) for sources
     ) -> jnp.ndarray:
         num_nodes = h.shape[0]
         src, dst = edge_index[0], edge_index[1]
-        h_i = jnp.take(h, dst, axis=0)   # target features
-        h_j = jnp.take(h, src, axis=0)   # source features
+        if self.edges_sorted:
+            h_i = take_rows_sorted_idx(h, dst)   # targets (sorted ids)
+        else:
+            h_i = take_rows(h, dst)
+        if src_sort is not None:
+            h_j = take_rows_presorted(h, src, *src_sort)
+        else:
+            h_j = take_rows(h, src)
         msg = self.message(h_i, h_j, edge_attr)
-        agg = self.aggregate(msg, dst, num_nodes, edge_mask)
+        agg = self.aggregate(msg, dst, num_nodes, edge_mask,
+                             batch_shape=batch_shape)
         return self.update(h, agg, node_attr)

@@ -153,6 +153,10 @@ class SteerableGeometricProductLayer(nn.Module):
     features: int
     include_first_order: bool = True
     normalization_init: Optional[float] = 0.0
+    # "dense": nb^3 einsum — XLA factors it into MXU matmuls, fastest on
+    # TPU (measured 0.07ms vs 0.09ms pair for Cl(5) @16k rows, 8x for
+    # Cl(3)).  "pair": nb^2 sparse form, kept for low-lane backends.
+    impl: str = "dense"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -170,18 +174,28 @@ class SteerableGeometricProductLayer(nn.Module):
                 alg, self.features, self.normalization_init,
                 name="normalization")(x_right)
 
-        # scatter the per-path weights into the (d+1)^3 grade cube, then
-        # expand to blade resolution with three static gathers
+        # scatter the per-path weights into the (d+1)^3 grade cube
         idx = np.argwhere(paths)                      # (n_paths, 3) static
         cube = jnp.zeros((self.features, alg.dim + 1, alg.dim + 1,
                           alg.dim + 1), dtype=w.dtype)
         cube = cube.at[:, idx[:, 0], idx[:, 1], idx[:, 2]].set(w)
         g = alg.blade_to_grade
-        w_blades = cube[:, g][:, :, g][:, :, :, g]    # (C, nb, nb, nb)
-        weighted_cayley = jnp.asarray(alg.cayley, dtype=x.dtype) * w_blades
 
-        out = jnp.einsum("...ni,nijk,...nk->...nj", x, weighted_cayley,
-                         x_right)
+        if self.impl == "dense":
+            # blade-resolution weighted Cayley, full nb^3 contraction
+            w_blades = cube[:, g][:, :, g][:, :, :, g]  # (C, nb, nb, nb)
+            weighted = jnp.asarray(alg.cayley, dtype=x.dtype) * w_blades
+            out = jnp.einsum("...ni,nijk,...nk->...nj", x, weighted,
+                             x_right)
+        else:
+            # sparse pair form: out_j = sum_k coeff[j,k] w[n,path(j,k)]
+            # x[..., i_of[j,k]] xr[..., k]  — nb^2 work, VPU-friendly
+            i_of, coeff = alg.gp_pair_tables          # (nb, nb) each
+            wp = cube[:, g[i_of], g[:, None], g[None, :]]  # (C, nb, nb)
+            cw = jnp.asarray(coeff, dtype=x.dtype) * wp
+            xg = x[..., i_of]                          # (..., C, nb, nb)
+            out = jnp.einsum("...njk,njk,...nk->...nj", xg, cw, x_right)
+
         if self.include_first_order:
             first = MVLinear(alg, self.features, self.features,
                              use_bias=True, name="linear_left")(x)

@@ -249,3 +249,28 @@ class TestEGCL:
         # node 1 has exactly 1 incoming edge -> identical
         np.testing.assert_allclose(np.asarray(out_sum)[1],
                                    np.asarray(out_mean)[1], rtol=1e-5)
+
+
+class TestSGPPairImpl:
+    @pytest.mark.parametrize("metric", [(1.0, 1.0), (1.0, 1.0, 1.0),
+                                        (1.0,) * 5])
+    def test_pair_matches_dense(self, metric):
+        """The sparse pair formulation must match the dense nb^3 einsum."""
+        alg = CliffordAlgebra(metric)
+        x = rand_mv((5, 3, alg.n_blades), seed=21)
+        dense = SteerableGeometricProductLayer(alg, 3, impl="dense")
+        pair = SteerableGeometricProductLayer(alg, 3, impl="pair")
+        params = dense.init(jax.random.PRNGKey(21), x)
+        np.testing.assert_allclose(
+            np.asarray(pair.apply(params, x)),
+            np.asarray(dense.apply(params, x)), rtol=1e-4, atol=1e-5)
+
+    def test_pair_tables_consistent(self):
+        alg = CliffordAlgebra((1.0, 1.0, 1.0))
+        i_of, coeff = alg.gp_pair_tables
+        # reconstruct the dense cayley from the pair tables
+        dense = np.zeros_like(alg.cayley)
+        for j in range(8):
+            for k in range(8):
+                dense[i_of[j, k], j, k] = coeff[j, k]
+        np.testing.assert_array_equal(dense, alg.cayley)

@@ -1,0 +1,127 @@
+"""Segment-reduction backends: XLA scatter (CPU), cumsum/gather, batched
+one-hot matmul, and the Pallas kernel (interpret mode) must all agree."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from csmpn_tpu.ops.segment import (
+    _batched_onehot_agg,
+    _sorted_segment_sum_cumsum,
+    knn_graph,
+    segment_counts,
+    segment_mean,
+    segment_sum,
+)
+from csmpn_tpu.ops.pallas_segment import sorted_segment_sum_pallas
+
+
+def _ref_sum(x, seg, n):
+    out = np.zeros((n,) + x.shape[1:], np.float32)
+    np.add.at(out, seg, x)
+    return out
+
+
+class TestCumsumPath:
+    def test_matches_scatter(self):
+        rng = np.random.RandomState(0)
+        E, N, D = 777, 63, 7
+        seg = np.sort(rng.randint(0, N, size=E)).astype(np.int32)
+        x = rng.randn(E, D).astype(np.float32)
+        out = _sorted_segment_sum_cumsum(jnp.asarray(x), jnp.asarray(seg), N)
+        np.testing.assert_allclose(np.asarray(out), _ref_sum(x, seg, N),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_empty_segments_zero(self):
+        seg = np.asarray([2, 2, 5], np.int32)
+        x = np.ones((3, 2), np.float32)
+        out = _sorted_segment_sum_cumsum(jnp.asarray(x), jnp.asarray(seg), 8)
+        np.testing.assert_allclose(np.asarray(out)[[0, 1, 3, 4, 6, 7]], 0.0)
+        np.testing.assert_allclose(np.asarray(out)[2], 2.0)
+
+    def test_grad_is_gather(self):
+        rng = np.random.RandomState(1)
+        seg = np.sort(rng.randint(0, 5, size=20)).astype(np.int32)
+        x = rng.randn(20, 3).astype(np.float32)
+        g = jax.grad(lambda x: jnp.sum(
+            _sorted_segment_sum_cumsum(x, jnp.asarray(seg), 5)[2]))(
+            jnp.asarray(x))
+        expect = np.zeros((20, 3), np.float32)
+        expect[seg == 2] = 1.0
+        np.testing.assert_allclose(np.asarray(g), expect, atol=1e-6)
+
+
+class TestBatchedOnehot:
+    def test_matches_scatter_sum_and_mean(self):
+        rng = np.random.RandomState(2)
+        B, N, E, D = 3, 10, 25, 4
+        dst_local = np.sort(rng.randint(0, N, size=(B, E)), axis=1)
+        dst = (dst_local + np.arange(B)[:, None] * N).reshape(-1)
+        x = rng.randn(B * E, D).astype(np.float32)
+        mask = rng.rand(B * E) > 0.2
+        for mean in (False, True):
+            out = _batched_onehot_agg(
+                jnp.asarray(x), jnp.asarray(dst.astype(np.int32)),
+                (B, N, E), jnp.asarray(mask), mean)
+            ref = _ref_sum(np.where(mask[:, None], x, 0), dst, B * N)
+            if mean:
+                cnt = np.maximum(
+                    np.bincount(dst[mask], minlength=B * N), 1)
+                ref = ref / cnt[:, None]
+            np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4,
+                                       atol=1e-5)
+
+
+class TestPallasKernel:
+    @pytest.mark.parametrize("shape", [(500, 37, 17), (2048, 300, 224)])
+    def test_interpret_matches(self, shape):
+        E, N, D = shape
+        rng = np.random.RandomState(3)
+        seg = np.sort(rng.randint(0, N, size=E)).astype(np.int32)
+        x = rng.randn(E, D).astype(np.float32)
+        with pltpu.force_tpu_interpret_mode():
+            out = sorted_segment_sum_pallas(jnp.asarray(x),
+                                            jnp.asarray(seg), N)
+        np.testing.assert_allclose(np.asarray(out), _ref_sum(x, seg, N),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_interpret_with_empty_blocks(self):
+        """Segments clustered at the end: early blocks see no edges."""
+        E, N, D = 300, 600, 8
+        rng = np.random.RandomState(4)
+        seg = np.sort(rng.randint(500, N, size=E)).astype(np.int32)
+        x = rng.randn(E, D).astype(np.float32)
+        with pltpu.force_tpu_interpret_mode():
+            out = sorted_segment_sum_pallas(jnp.asarray(x),
+                                            jnp.asarray(seg), N)
+        np.testing.assert_allclose(np.asarray(out), _ref_sum(x, seg, N),
+                                   rtol=1e-4, atol=1e-4)
+
+
+class TestSegmentCounts:
+    def test_sorted_counts(self):
+        seg = jnp.asarray(np.asarray([0, 0, 1, 3, 3, 3], np.int32))
+        np.testing.assert_array_equal(
+            np.asarray(segment_counts(seg, 5)), [2, 1, 0, 3, 0])
+
+
+class TestKnnGraph:
+    def test_matches_bruteforce(self):
+        rng = np.random.RandomState(5)
+        pos = rng.randn(12, 3).astype(np.float32)
+        ei = np.asarray(knn_graph(jnp.asarray(pos), k=3))
+        assert ei.shape == (2, 36)
+        d2 = ((pos[:, None] - pos[None]) ** 2).sum(-1)
+        np.fill_diagonal(d2, np.inf)
+        for i in range(12):
+            mine = set(ei[0][ei[1] == i])
+            want = set(np.argsort(d2[i])[:3])
+            assert mine == want
+
+    def test_fully_connected_with_large_k(self):
+        pos = jnp.asarray(np.random.RandomState(6).randn(6, 2),
+                          jnp.float32)
+        ei = np.asarray(knn_graph(pos, k=10000))
+        assert ei.shape == (2, 30)
