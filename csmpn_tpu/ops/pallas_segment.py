@@ -95,7 +95,7 @@ def _kernel(bounds_ref, seg_ref, data_ref, out_ref, seg_scratch,
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def sorted_segment_sum_pallas(data: jnp.ndarray, segment_ids: jnp.ndarray,
                               num_segments: int, wn: int = 128,
-                              te: int = 512) -> jnp.ndarray:
+                              te: int = 1024) -> jnp.ndarray:
     """data: (E, D) float; segment_ids: (E,) int32 sorted ascending.
     Returns (num_segments, D)."""
     return _forward(data, segment_ids, num_segments, wn, te)
@@ -117,10 +117,16 @@ def _forward(data, segment_ids, num_segments, wn, te):
         jnp.arange(n_blocks + 1, dtype=segment_ids.dtype) * wn,
         side="left").astype(jnp.int32)
     # pad the streams so chunk DMAs never run out of bounds; padded ids
-    # point past the last segment and never match a block row
-    data_p = jnp.pad(data, ((0, te), (0, 0)))
-    seg_p = jnp.pad(segment_ids.astype(jnp.int32), (0, te),
-                    constant_values=n_pad + wn).reshape(1, -1)
+    # point past the last segment and never match a block row.  When the
+    # row count is already TE-aligned every chunk DMA is in-bounds and the
+    # (full-array-copy) pads are skipped.
+    if e % te == 0:
+        data_p = data
+        seg_p = segment_ids.astype(jnp.int32).reshape(1, -1)
+    else:
+        data_p = jnp.pad(data, ((0, te), (0, 0)))
+        seg_p = jnp.pad(segment_ids.astype(jnp.int32), (0, te),
+                        constant_values=n_pad + wn).reshape(1, -1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
