@@ -23,6 +23,7 @@ Semantics preserved from the reference (validated in tests/test_lifting.py):
 from __future__ import annotations
 
 import itertools
+import os
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
@@ -169,14 +170,22 @@ def _store_to_complex(store: SimplexStore,
     return SimplicialComplex(store.max_dim, x, adj)
 
 
-def rips_lift(points: np.ndarray, dim: int, dis: float) -> SimplicialComplex:
+def rips_lift(points: np.ndarray, dim: int, dis: float,
+              backend: str = "auto") -> SimplicialComplex:
     """Vietoris-Rips flag complex up to ``dim`` at scale ``dis``
     (reference rips_lift, utils.py:106-136).
 
     For dim <= 2 the flag construction (edges = pairs within ``dis``,
     triangles = triples whose three edges all exist) is exactly GUDHI's
-    Rips complex.
+    Rips complex.  ``backend="auto"`` uses the native C++ core when
+    available (same output, tests/test_native.py); "python" forces the
+    pure-Python path.
     """
+    if backend == "auto" and dim <= 2 and not os.environ.get(
+            "CSMPN_NO_NATIVE"):
+        from . import native
+        if native.available():
+            return native.rips_lift_native(points, dim, dis)
     points = np.asarray(points, dtype=np.float64)
     n = len(points)
     store = SimplexStore(dim)
@@ -198,7 +207,7 @@ def rips_lift(points: np.ndarray, dim: int, dis: float) -> SimplicialComplex:
 
 def clique_lift(points: np.ndarray, edge_index: np.ndarray,
                 edge_th: float = 1e4, tri_th: float = 1e4,
-                max_dim: int = 2) -> SimplicialComplex:
+                max_dim: int = 2, backend: str = "auto") -> SimplicialComplex:
     """Clique lift with edge-length / triangle-area thresholds
     (reference simplicial_lift, utils.py:151-207; used for MD17 aspirin).
 
@@ -206,6 +215,12 @@ def clique_lift(points: np.ndarray, edge_index: np.ndarray,
     when those were dropped by the length filter (gudhi insert semantics).
     No fully-connected 0-0 augmentation on this path.
     """
+    if backend == "auto" and max_dim == 2 and not os.environ.get(
+            "CSMPN_NO_NATIVE"):
+        from . import native
+        if native.available():
+            return native.clique_lift_native(points, edge_index, edge_th,
+                                             tri_th, max_dim)
     points = np.asarray(points, dtype=np.float64)
     n = len(points)
     ei = np.asarray(edge_index)
