@@ -70,6 +70,8 @@ class Trainer:
         skip_initial_eval: bool = False,
         mesh: Any = None,
         donate: bool = True,
+        profile_dir: Optional[str] = None,
+        profile_steps: tuple = (8, 12),
     ):
         callbacks = list(callbacks or [])
         if logger is None:
@@ -105,6 +107,11 @@ class Trainer:
         self.skip_initial_eval = skip_initial_eval
         self.mesh = mesh
         self.donate = donate
+        # jax.profiler trace capture window (SURVEY.md §5: the reference has
+        # no tracing beyond s_it; this is the superset)
+        self.profile_dir = profile_dir
+        self.profile_steps = profile_steps
+        self._profiling = False
 
         self.global_step = 0
         self.current_epoch = 0
@@ -193,7 +200,23 @@ class Trainer:
                 callback.on_test_end(self, self._state, computed)
         return computed
 
+    def _maybe_profile(self):
+        if self.profile_dir is None:
+            return
+        import jax.profiler
+
+        start, stop = self.profile_steps
+        if self.global_step == start and not self._profiling:
+            jax.profiler.start_trace(self.profile_dir)
+            self._profiling = True
+            print(f"Profiler trace started -> {self.profile_dir}")
+        elif self.global_step >= stop and self._profiling:
+            jax.profiler.stop_trace()
+            self._profiling = False
+            print(f"Profiler trace written to {self.profile_dir}")
+
     def train_step(self, batch):
+        self._maybe_profile()
         params, opt_state = self._state
         batch = self._shard_batch(batch)
         params, opt_state, loss, outputs = self._train_step_fn(
