@@ -100,7 +100,13 @@ def get_run_name(argv: List[str]) -> str:
             parts.append(v[2:])
         elif os.path.exists(v):
             parts.append(os.path.splitext(os.path.basename(v))[0])
-    return "_".join(parts)
+    name = "_".join(parts)
+    if len(name) > 96:  # used as a directory name: keep it filesystem-safe
+        import hashlib
+
+        digest = hashlib.sha1(name.encode()).hexdigest()[:8]
+        name = f"{name[:88]}_{digest}"
+    return name
 
 
 def parse_args(argv: List[str] = None) -> Tuple[Dict, str, str]:

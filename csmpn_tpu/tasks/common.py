@@ -35,6 +35,7 @@ def run_task(config: Dict) -> None:
 
     steps = config["trainer"]["max_steps"]
     opt_cfg = dict(config["optimizer"])
+    opt_cfg.pop("schedule", None)  # built below from the trainer budget
     # cosine warmup (steps/64) -> plateau -> decay (last steps/4), the
     # schedule every reference entry script builds (e.g. md17.py:30-36)
     schedule = cosine_annealing_schedule(
@@ -44,7 +45,9 @@ def run_task(config: Dict) -> None:
         schedule=schedule, **opt_cfg)
 
     trainer_cfg = dict(config["trainer"])
-    trainer_cfg.pop("module", None)
+    # keys composed here rather than taken from reflected ctor defaults
+    for k in ("module", "scheduler", "logger", "mesh"):
+        trainer_cfg.pop(k, None)
     mesh = None
     if config.get("data_parallel") and jax.device_count() > 1:
         mesh = make_mesh()
