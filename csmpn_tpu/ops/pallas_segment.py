@@ -31,7 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(bounds_ref, seg_ref, data_ref, out_ref, seg_scratch,
-            data_scratch, sems, *, wn: int, te: int):
+            data_scratch, sems, *, wn: int, te: int, exact: bool):
     b = pl.program_id(0)
     start = bounds_ref[b]
     end = bounds_ref[b + 1]
@@ -82,29 +82,36 @@ def _kernel(bounds_ref, seg_ref, data_ref, out_ref, seg_scratch,
 
         ids = seg_scratch[slot]                       # (1, TE) int32
         rows = jax.lax.broadcasted_iota(jnp.int32, (wn, te), 0)
+        compute_dtype = jnp.float32 if exact else jnp.bfloat16
         onehot = jnp.where(ids - base == rows,
-                           1.0, 0.0).astype(jnp.float32)
+                           1.0, 0.0).astype(compute_dtype)
+        # exact: 6-pass f32 MXU matmul (bit-accurate sums);
+        # fast: one bf16 MXU pass with f32 accumulation (~1e-3 relative
+        # input rounding — the training default, like bf16 activations)
+        precision = (jax.lax.Precision.HIGHEST if exact
+                     else jax.lax.Precision.DEFAULT)
         out_ref[:] += jnp.dot(onehot, data_scratch[slot],
                               preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST)
+                              precision=precision)
         return 0
 
     jax.lax.fori_loop(0, n_chunks, body, 0)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def sorted_segment_sum_pallas(data: jnp.ndarray, segment_ids: jnp.ndarray,
                               num_segments: int, wn: int = 128,
-                              te: int = 1024) -> jnp.ndarray:
+                              te: int = 1024,
+                              exact: bool = True) -> jnp.ndarray:
     """data: (E, D) float; segment_ids: (E,) int32 sorted ascending.
-    Returns (num_segments, D)."""
-    return _forward(data, segment_ids, num_segments, wn, te)
+    Returns (num_segments, D).  exact=False uses the bf16 fast path."""
+    return _forward(data, segment_ids, num_segments, wn, te, exact)
 
 
-def _forward(data, segment_ids, num_segments, wn, te):
+def _forward(data, segment_ids, num_segments, wn, te, exact=True):
     e, d_orig = data.shape
     orig_dtype = data.dtype
-    data = data.astype(jnp.float32)
+    data = data.astype(jnp.float32 if exact else jnp.bfloat16)
     # lane dim must be a multiple of 128 for the HBM chunk DMAs
     d = pl.cdiv(d_orig, 128) * 128
     if d != d_orig:
@@ -139,23 +146,25 @@ def _forward(data, segment_ids, num_segments, wn, te):
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, 1, te), jnp.int32),     # double-buffered ids
-            pltpu.VMEM((2, te, d), jnp.float32),   # double-buffered data
+            pltpu.VMEM((2, te, d),
+                       jnp.float32 if exact else jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, wn=wn, te=te),
+        functools.partial(_kernel, wn=wn, te=te, exact=exact),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
     )(edges_of_block, seg_p, data_p)
     return out[:num_segments, :d_orig].astype(orig_dtype)
 
 
-def _fwd(data, segment_ids, num_segments, wn, te):
-    return _forward(data, segment_ids, num_segments, wn, te), segment_ids
+def _fwd(data, segment_ids, num_segments, wn, te, exact):
+    return (_forward(data, segment_ids, num_segments, wn, te, exact),
+            segment_ids)
 
 
-def _bwd(num_segments, wn, te, segment_ids, g):
+def _bwd(num_segments, wn, te, exact, segment_ids, g):
     return (jnp.take(g, segment_ids, axis=0), None)
 
 

@@ -31,6 +31,24 @@ def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
+# Global aggregation precision mode.  "exact": f32 bit-accurate segment sums
+# (HIGHEST-precision MXU matmuls — the default, used by tests and parity
+# checks).  "fast": one bf16 MXU pass with f32 accumulation (~1e-3 relative
+# input rounding; the intended large-scale-training mode, like bf16
+# activations).  Trace-time switch: set before jit/compile.
+_AGGREGATION_MODE = "exact"
+
+
+def set_aggregation_mode(mode: str) -> None:
+    global _AGGREGATION_MODE
+    assert mode in ("exact", "fast"), mode
+    _AGGREGATION_MODE = mode
+
+
+def aggregation_exact() -> bool:
+    return _AGGREGATION_MODE == "exact"
+
+
 # ---------------------------------------------------------------- core sums
 
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -75,8 +93,8 @@ def sorted_segment_sum(data: jnp.ndarray, segment_ids: jnp.ndarray,
         from .pallas_segment import sorted_segment_sum_pallas
 
         flat = data.reshape(data.shape[0], -1)
-        out = sorted_segment_sum_pallas(flat, segment_ids,
-                                        num_segments)
+        out = sorted_segment_sum_pallas(flat, segment_ids, num_segments,
+                                        128, 1024, aggregation_exact())
         return out.reshape((num_segments,) + data.shape[1:])
     return jax.ops.segment_sum(data, segment_ids,
                                num_segments=num_segments,
@@ -129,7 +147,8 @@ def _take_rows_bwd(res, g):
         flat = g_sorted.reshape(g_sorted.shape[0], -1)
         from .pallas_segment import sorted_segment_sum_pallas
 
-        d_h = sorted_segment_sum_pallas(flat, ids_sorted, n)
+        d_h = sorted_segment_sum_pallas(flat, ids_sorted, n, 128, 1024,
+                                        aggregation_exact())
         d_h = d_h.reshape((n,) + g.shape[1:])
     else:
         d_h = jax.ops.segment_sum(g_sorted, ids_sorted, num_segments=n,
@@ -166,7 +185,8 @@ def _take_rows_ps_bwd(res, g):
         from .pallas_segment import sorted_segment_sum_pallas
 
         flat = g_sorted.reshape(g_sorted.shape[0], -1)
-        d_h = sorted_segment_sum_pallas(flat, idx_sorted, n)
+        d_h = sorted_segment_sum_pallas(flat, idx_sorted, n, 128, 1024,
+                                        aggregation_exact())
         d_h = d_h.reshape((n,) + g.shape[1:])
     else:
         d_h = jax.ops.segment_sum(g_sorted, idx_sorted, num_segments=n,

@@ -155,3 +155,52 @@ class TestHullsRotation:
         np.testing.assert_allclose(np.asarray(out1["loss"]),
                                    np.asarray(out0["loss"]),
                                    rtol=5e-3, atol=1e-4)
+
+
+class TestRotationEquivariance:
+    """O(n)-equivariance of the full task models: rotating inputs AND
+    targets leaves every loss output unchanged (the paper's core claim)."""
+
+    def _rotate(self, arr, R):
+        return np.asarray(arr) @ R.T
+
+    def test_motion_rotation(self):
+        from csmpn_tpu.data.motion import MotionDataset
+        from csmpn_tpu.models.motion import MotionModel
+        from scipy.stats import special_ortho_group
+
+        ds = MotionDataset(batch_size=4, num_training_samples=11,
+                           num_eval_samples=6)
+        model = MotionModel(spec=ds.spec, num_hidden=4, num_layers=1)
+        batch = _first_batch(ds)
+        params = model.init(jax.random.PRNGKey(0), batch)
+        _, out0 = model.apply(params, batch)
+
+        R = special_ortho_group.rvs(3, random_state=1).astype(np.float32)
+        feats = {k: self._rotate(v, R) for k, v in batch.features.items()}
+        tgts = {"y": self._rotate(batch.targets["y"], R)}
+        rotated = batch.replace(features=feats, targets=tgts)
+        _, out1 = model.apply(params, rotated)
+        np.testing.assert_allclose(np.asarray(out1["loss"]),
+                                   np.asarray(out0["loss"]),
+                                   rtol=2e-3, atol=1e-5)
+
+    def test_nba_rotation(self):
+        from csmpn_tpu.data.nba import NBADataset
+        from csmpn_tpu.models.nba import NBAModel
+        from scipy.stats import special_ortho_group
+
+        ds = NBADataset(batch_size=4, mode="atk", max_samples=12)
+        model = NBAModel(spec=ds.spec, num_hidden=4, num_layers=1)
+        batch = _first_batch(ds)
+        params = model.init(jax.random.PRNGKey(0), batch)
+        _, out0 = model.apply(params, batch)
+
+        R = special_ortho_group.rvs(2, random_state=2).astype(np.float32)
+        feats = {k: self._rotate(v, R) for k, v in batch.features.items()}
+        tgts = {"y": self._rotate(batch.targets["y"], R)}
+        rotated = batch.replace(features=feats, targets=tgts)
+        _, out1 = model.apply(params, rotated)
+        np.testing.assert_allclose(np.asarray(out1["ade_loss"]),
+                                   np.asarray(out0["ade_loss"]),
+                                   rtol=2e-3, atol=1e-5)
