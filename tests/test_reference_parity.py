@@ -1,0 +1,106 @@
+"""Per-layer allclose parity vs recorded reference activations
+(BASELINE.md north star; SURVEY.md §4 item 3).
+
+Fixtures are produced by tools/export_reference_fixtures.py in an
+environment with the reference PyTorch/PyG stack; tests skip when absent.
+The Cayley-table fixtures double-check the blade-order/sign conventions
+end to end.
+"""
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from csmpn_tpu.algebra import CliffordAlgebra
+
+FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def fixture(name):
+    path = os.path.join(FIXDIR, name)
+    if not os.path.exists(path):
+        pytest.skip(f"fixture {name} not present (run "
+                    f"tools/export_reference_fixtures.py in a reference "
+                    f"environment)")
+    return np.load(path)
+
+
+@pytest.mark.parametrize("metric,tag", [
+    ((1.0, 1.0), "cl2"), ((1.0, 1.0, 1.0), "cl3"), ((1.0,) * 5, "cl5")])
+def test_cayley_tables_match(metric, tag):
+    z = fixture(f"cayley_{tag}.npz")
+    alg = CliffordAlgebra(metric)
+    np.testing.assert_array_equal(alg.cayley, z["cayley"])
+
+
+def test_mvlinear_parity():
+    z = fixture("layer_mvlinear.npz")
+    from csmpn_tpu.nn import MVLinear
+
+    alg = CliffordAlgebra((1.0, 1.0, 1.0))
+    m = MVLinear(alg, 4, 6)
+    params = {"params": {
+        "weight": jnp.asarray(z["weight"]),
+        # reference bias shape (1, out, 1) -> ours (out, 1)
+        "bias": jnp.asarray(z["bias"][0]),
+    }}
+    out = m.apply(params, jnp.asarray(z["x"]))
+    np.testing.assert_allclose(np.asarray(out), z["out"], rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_mvsilu_parity():
+    z = fixture("layer_mvsilu.npz")
+    from csmpn_tpu.nn import MVSiLU
+
+    alg = CliffordAlgebra((1.0, 1.0, 1.0))
+    m = MVSiLU(alg, 4)
+    params = {"params": {"a": jnp.asarray(z["a"][0]),
+                         "b": jnp.asarray(z["b"][0])}}
+    out = m.apply(params, jnp.asarray(z["x"]))
+    np.testing.assert_allclose(np.asarray(out), z["out"], rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_normalization_parity():
+    z = fixture("layer_normalization.npz")
+    from csmpn_tpu.nn import NormalizationLayer
+
+    alg = CliffordAlgebra((1.0, 1.0, 1.0))
+    m = NormalizationLayer(alg, 4)
+    params = {"params": {"a": jnp.asarray(z["a"])}}
+    out = m.apply(params, jnp.asarray(z["x"]))
+    np.testing.assert_allclose(np.asarray(out), z["out"], rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_mvlayernorm_parity():
+    z = fixture("layer_mvlayernorm.npz")
+    from csmpn_tpu.nn import MVLayerNorm
+
+    alg = CliffordAlgebra((1.0, 1.0, 1.0))
+    m = MVLayerNorm(alg, 4)
+    params = {"params": {"a": jnp.asarray(z["a"][0])}}
+    out = m.apply(params, jnp.asarray(z["x"]))
+    np.testing.assert_allclose(np.asarray(out), z["out"], rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_sgp_parity():
+    z = fixture("layer_sgp.npz")
+    from csmpn_tpu.nn import SteerableGeometricProductLayer
+
+    alg = CliffordAlgebra((1.0, 1.0, 1.0))
+    m = SteerableGeometricProductLayer(alg, 4)
+    params = {"params": {
+        "weight": jnp.asarray(z["weight"]),
+        "linear_right": {"weight": jnp.asarray(z["linear_right"])},
+        "linear_left": {"weight": jnp.asarray(z["linear_left"]),
+                        "bias": jnp.asarray(z["linear_left_bias"][0])},
+        "normalization": {"a": jnp.asarray(z["norm_a"])},
+    }}
+    out = m.apply(params, jnp.asarray(z["x"]))
+    np.testing.assert_allclose(np.asarray(out), z["out"], rtol=1e-4,
+                               atol=1e-5)

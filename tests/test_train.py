@@ -106,3 +106,41 @@ class TestTraining:
         trainer.fit(model, params, adam(lr=1e-3), train_loader,
                     val_loader=dataset.val_loader())
         assert trainer.global_step >= 1
+
+
+class TestTrainerWithMesh:
+    def test_data_parallel_training(self, dataset, model):
+        """Trainer with a 4-device mesh: batch sharded over 'data',
+        params replicated — one jitted step must run and reduce loss."""
+        import jax
+        from csmpn_tpu.parallel.mesh import make_mesh
+        from csmpn_tpu.engineer.trainer import Trainer
+        from csmpn_tpu.engineer.loggers import ConsoleLogger
+        from csmpn_tpu.engineer.optim import adam
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 virtual devices")
+        mesh = make_mesh(4)
+        train_loader = dataset.train_loader()
+        batch = next(iter(train_loader))
+        params = model.init(jax.random.PRNGKey(3), batch)
+        loss0, _ = model.apply(params, batch)
+        trainer = Trainer(max_steps=12, val_check_interval=1000,
+                          print_interval=4, log_interval=6,
+                          logger=ConsoleLogger(dir=None), mesh=mesh)
+        final = trainer.fit(model, params, adam(lr=5e-3), train_loader)
+        loss1, _ = model.apply(jax.device_get(final), batch)
+        assert float(loss1) < float(loss0)
+
+
+class TestLoaderSharding:
+    def test_rank_sharding_partitions_data(self, dataset):
+        l0 = dataset.val_loader(shard=(0, 2))
+        l1 = dataset.val_loader(shard=(1, 2))
+        t0 = np.concatenate([b.targets["target"] for b in l0])
+        t1 = np.concatenate([b.targets["target"] for b in l1])
+        allt = np.concatenate([b.targets["target"]
+                               for b in dataset.val_loader()])
+        assert len(t0) + len(t1) == len(allt)
+        assert set(np.round(t0, 5)) | set(np.round(t1, 5)) == set(
+            np.round(allt, 5))
