@@ -5,8 +5,6 @@ gradient BEFORE the moment updates (coupled, unlike AdamW).
 """
 from __future__ import annotations
 
-from typing import Optional, Union
-
 import optax
 
 

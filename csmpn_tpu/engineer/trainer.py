@@ -11,11 +11,9 @@ from __future__ import annotations
 
 import datetime
 import time
-import warnings
 from typing import Any, Dict, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import optax
 

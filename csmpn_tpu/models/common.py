@@ -15,7 +15,6 @@ static-section batch layout:
 from __future__ import annotations
 
 import itertools
-import math
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -134,6 +133,8 @@ class SimplexTypeConditioning(nn.Module):
     def __call__(self, node_types_flat: jnp.ndarray,
                  edge_index_flat: jnp.ndarray, src_sort=None):
         alg = self.algebra
+        if self.num_types == 0:          # condition=False
+            return None, None
         if self.mode == "onehot":
             attr = jax.nn.one_hot(node_types_flat, self.num_types)
         else:

@@ -9,10 +9,7 @@ statically padded SimplicialBatch arrays.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
-import jax.numpy as jnp
 
 from ..algebra.clifford import CliffordAlgebra, get_algebra
 from ..data.batching import PaddingSpec, SimplicialBatch

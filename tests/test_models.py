@@ -204,3 +204,18 @@ class TestRotationEquivariance:
         np.testing.assert_allclose(np.asarray(out1["ade_loss"]),
                                    np.asarray(out0["ade_loss"]),
                                    rtol=2e-3, atol=1e-5)
+
+
+class TestUnconditioned:
+    def test_hulls_condition_false(self):
+        from csmpn_tpu.data.hulls import ConvexHullDataset
+        from csmpn_tpu.models.hulls import HullsModel
+
+        ds = ConvexHullDataset(num_samples=8, batch_size=4,
+                               num_val_samples=4)
+        model = HullsModel(spec=ds.spec, hidden_features=4, num_layers=1,
+                           condition=False)
+        batch = next(iter(ds.train_loader()))
+        params = model.init(jax.random.PRNGKey(0), batch)
+        loss, _ = model.apply(params, batch)
+        assert np.isfinite(float(loss))
