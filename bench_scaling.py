@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--devices", type=int, default=0)
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--fwd-only", action="store_true")
+    ap.add_argument("--exchange", choices=["halo", "allgather"],
+                    default="halo")
     args = ap.parse_args()
 
     import jax
@@ -42,7 +44,9 @@ def main():
     from csmpn_tpu.parallel.edge_partition import (
         make_synthetic_complex,
         partition_edges,
+        partition_edges_halo,
         sharded_egcl_apply,
+        sharded_egcl_apply_halo,
     )
     from csmpn_tpu.parallel.mesh import make_mesh
 
@@ -67,15 +71,20 @@ def main():
         if n_nodes % n != 0:
             continue
         mesh = make_mesh(n)
-        part = partition_edges(ei, n_nodes, n)
+        if args.exchange == "halo":
+            part = partition_edges_halo(ei, n_nodes, n)
+            apply_fn = sharded_egcl_apply_halo
+        else:
+            part = partition_edges(ei, n_nodes, n)
+            apply_fn = sharded_egcl_apply
         h = jnp.asarray(h_host)
 
         if args.fwd_only:
             def run(p, h):
-                return sharded_egcl_apply(egcl, p, h, part, mesh)
+                return apply_fn(egcl, p, h, part, mesh)
         else:
             def loss(p, h):
-                out = sharded_egcl_apply(egcl, p, h, part, mesh)
+                out = apply_fn(egcl, p, h, part, mesh)
                 return jnp.mean(out ** 2)
 
             def run(p, h):
@@ -96,6 +105,7 @@ def main():
         rates[n] = rate
         print(json.dumps({
             "metric": "edge_partitioned_edges_per_s",
+            "exchange": args.exchange,
             "mesh_devices": n,
             "value": round(rate, 1),
             "unit": "edges/s",

@@ -118,6 +118,138 @@ def sharded_egcl_apply(
     return fn(*args)
 
 
+@dataclass(frozen=True)
+class HaloPartition:
+    """Edge partition with precomputed halo-exchange index structure.
+
+    Shard s owns nodes [s*nps, (s+1)*nps).  For every ordered shard pair
+    (o -> s), ``send_idx[o, s]`` lists the LOCAL node indices shard o must
+    ship to shard s (padded with 0, masked by ``send_mask``).  After the
+    all_to_all, shard s sees the received halo as a dense
+    (n_shards, h_max, ...) buffer where row (o, p) is o's p-th sent node;
+    slab source indices are pre-remapped into the concatenated
+    [local nodes | halo] layout:
+        local src v        -> v - s*nps
+        remote src (o, p)  -> nps + o*h_max + p
+    """
+
+    edge_index: np.ndarray    # (n_shards * e_shard, 2) [src_remapped, dst]
+    edge_mask: np.ndarray     # (n_shards * e_shard,)
+    send_idx: np.ndarray      # (n_shards, n_shards, h_max) local ids
+    send_mask: np.ndarray     # (n_shards, n_shards, h_max)
+    n_shards: int
+    e_shard: int
+    h_max: int
+    nodes_per_shard: int
+
+
+def partition_edges_halo(edge_index: np.ndarray, n_nodes: int,
+                         n_shards: int) -> HaloPartition:
+    """Partition edges by target shard and precompute the boundary-feature
+    exchange lists (the halo).  Communication volume becomes
+    sum(|halo|) instead of n_shards * N (the all_gather fallback)."""
+    assert n_nodes % n_shards == 0
+    nps = n_nodes // n_shards
+    ei = np.asarray(edge_index)
+    order = np.lexsort((ei[0], ei[1]))
+    ei = ei[:, order]
+    owner = ei[1] // nps
+    slabs = [ei[:, owner == s] for s in range(n_shards)]
+    e_shard = int(-(-max(s.shape[1] for s in slabs) // 8) * 8)
+
+    # per (owner o -> consumer s): sorted unique remote node ids
+    send_lists = [[[] for _ in range(n_shards)] for _ in range(n_shards)]
+    remote_pos = [dict() for _ in range(n_shards)]  # per consumer s
+    for s in range(n_shards):
+        src = slabs[s][0]
+        lo, hi = s * nps, (s + 1) * nps
+        remotes = np.unique(src[(src < lo) | (src >= hi)])
+        for v in remotes:
+            o = int(v // nps)
+            p = len(send_lists[o][s])
+            send_lists[o][s].append(int(v - o * nps))
+            remote_pos[s][int(v)] = (o, p)
+
+    h_max = max((len(send_lists[o][s]) for o in range(n_shards)
+                 for s in range(n_shards)), default=0)
+    h_max = max(int(-(-h_max // 8) * 8), 8)
+    send_idx = np.zeros((n_shards, n_shards, h_max), dtype=np.int32)
+    send_mask = np.zeros((n_shards, n_shards, h_max), dtype=bool)
+    for o in range(n_shards):
+        for s in range(n_shards):
+            lst = send_lists[o][s]
+            send_idx[o, s, :len(lst)] = lst
+            send_mask[o, s, :len(lst)] = True
+
+    out = np.zeros((n_shards, e_shard, 2), dtype=np.int32)
+    mask = np.zeros((n_shards, e_shard), dtype=bool)
+    for s, slab in enumerate(slabs):
+        k = slab.shape[1]
+        lo = s * nps
+        src = slab[0]
+        src_remap = np.where(
+            (src >= lo) & (src < lo + nps), src - lo, 0).astype(np.int32)
+        for i in np.nonzero((src < lo) | (src >= lo + nps))[0]:
+            o, p = remote_pos[s][int(src[i])]
+            src_remap[i] = nps + o * h_max + p
+        out[s, :k, 0] = src_remap
+        out[s, :k, 1] = slab[1] - lo          # local target ids
+        out[s, k:, 1] = nps - 1               # padded: last local node
+        mask[s, :k] = True
+    return HaloPartition(out.reshape(-1, 2), mask.reshape(-1), send_idx,
+                         send_mask, n_shards, e_shard, h_max, nps)
+
+
+def sharded_egcl_apply_halo(
+    egcl: EGCL,
+    params,
+    h: jnp.ndarray,                 # (N, C, nb) node features (global)
+    part: HaloPartition,
+    mesh: Mesh,
+    axis: str = "data",
+):
+    """One EGCL layer with halo exchange: ship only the boundary-simplex
+    features each shard actually reads (all_to_all over ICI), overlapping
+    naturally with the local gather/MLP work XLA schedules around it."""
+    nps = part.nodes_per_shard
+
+    def shard_fn(h_local, edges_local, mask_local, send_idx_local,
+                 send_mask_local):
+        # (1) build this shard's send buffer: rows for every destination
+        sidx = send_idx_local[0]                       # (n_shards, H)
+        smask = send_mask_local[0]
+        buf = jnp.take(h_local, sidx.reshape(-1), axis=0)
+        buf = buf * smask.reshape(-1)[:, None, None].astype(h_local.dtype)
+        buf = buf.reshape(part.n_shards, part.h_max, *h_local.shape[1:])
+        # (2) boundary exchange: received[o] = what shard o sent to me
+        halo = jax.lax.all_to_all(buf, axis, split_axis=0, concat_axis=0,
+                                  tiled=False)
+        halo = halo.reshape(part.n_shards * part.h_max, *h_local.shape[1:])
+        h_ext = jnp.concatenate([h_local, halo], axis=0)
+        # (3) local messages + sorted local segment reduce + update
+        src = edges_local[:, 0]
+        dst = edges_local[:, 1]
+        h_j = jnp.take(h_ext, src, axis=0)
+        h_i = jnp.take(h_local, dst, axis=0)
+        msg = egcl.apply(params, h_i, h_j, None, method=EGCL.message)
+        agg = egcl.apply(params, msg, dst, nps, mask_local,
+                         method=EGCL.aggregate)
+        return egcl.apply(params, h_local, agg, None, method=EGCL.update)
+
+    from jax import shard_map as _shard_map
+
+    # send tables are per-shard constants: shard them so each device gets
+    # its own row (wrapped with a leading length-1 axis per shard)
+    send_idx = jnp.asarray(part.send_idx)
+    send_mask = jnp.asarray(part.send_mask)
+    fn = _shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis))
+    return fn(h, jnp.asarray(part.edge_index), jnp.asarray(part.edge_mask),
+              send_idx, send_mask)
+
+
 def make_synthetic_complex(n_nodes: int, avg_degree: int,
                            seed: int = 0) -> np.ndarray:
     """Target-sorted synthetic incidence list for scaling benchmarks
