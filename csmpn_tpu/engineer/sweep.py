@@ -83,5 +83,24 @@ def main() -> None:
     sys.exit(sweep_local(sys.argv[1], sys.argv[2:]))
 
 
+def main_cluster() -> None:
+    """Cluster analogue of the reference `sweep` console script
+    (sweep.py:127-200): expands the grid into a SLURM array jobfile.
+    wandb sweep registration is intentionally omitted (offline
+    environments); the jobfile is self-contained."""
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("config")
+    ap.add_argument("--out", default="sweep_job.sh")
+    ap.add_argument("--partition", default="gpu")
+    ap.add_argument("--time", default="24:00:00")
+    args, extra = ap.parse_known_args()
+    path = write_slurm_jobfile(args.config, args.out,
+                               partition=args.partition, time=args.time,
+                               extra_args=extra)
+    print(f"Wrote SLURM array jobfile: {path}")
+
+
 if __name__ == "__main__":
     main()

@@ -36,6 +36,23 @@ def count_parameters(params) -> int:
     return sum(int(x.size) for x in jax.tree.leaves(params))
 
 
+def print_git_state() -> None:
+    """Reference trainer.py:17-30: record the code state of the run."""
+    import subprocess
+
+    def run(cmd):
+        try:
+            return subprocess.run(cmd, shell=True, capture_output=True,
+                                  text=True, timeout=5).stdout.strip()
+        except Exception:
+            return "?"
+
+    print("\nGit state\n---")
+    print(f"Branch: {run('git rev-parse --abbrev-ref HEAD')}")
+    print(f"Commit: {run('git rev-parse HEAD')}")
+    print(f"Message: {run('git log -1 --pretty=%B')}\n")
+
+
 def _parse_max_time(time_str: Optional[str]):
     if time_str is None:
         return None
@@ -239,6 +256,7 @@ class Trainer:
         self._train_metrics = self._make_metrics(model)
         self._test_metrics = self._make_metrics(model)
 
+        print_git_state()
         print("\nModel Summary\n---")
         print(model)
         print(f"Total parameters: "
