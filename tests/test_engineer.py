@@ -149,3 +149,81 @@ class TestSweep:
         assert all("--fixed=1" in c and "--extra=x" in c for c in cmds)
         assert any("--lr=0.1" in c for c in cmds)
         assert any("--lr=0.2" in c for c in cmds)
+
+
+class TestMoreMetrics:
+    def test_accuracy(self):
+        m = Accuracy()
+        m.update(np.array([1.0, 0.0, 1.0, 1.0]))
+        assert m.compute() == pytest.approx(0.75)
+
+    def test_rmsre(self):
+        m = RMSRE()
+        m.update(np.array([4.0, 4.0]))
+        assert m.compute() == pytest.approx(2.0)
+
+    def test_lorentz_metric(self):
+        from csmpn_tpu.engineer.metrics import LorentzMetric
+
+        m = LorentzMetric()
+        rng = np.random.RandomState(0)
+        target = rng.randint(0, 2, 200)
+        preds = np.clip(target * 0.6 + rng.rand(200) * 0.4, 0, 1)
+        m.update((preds, target))
+        out = m.compute()
+        assert set(out) == {"auc", "eB_0.3", "eB_0.5"}
+        assert out["auc"] > 0.5
+
+
+class TestCyclicScheduler:
+    def test_cycle(self):
+        from csmpn_tpu.engineer.schedulers import cosine_cyclic_schedule
+
+        s = cosine_cyclic_schedule(1.0, max_steps=100, cycle_steps=10)
+        # at step 0: 0.5*((min-base)*cos(0)+min+base) = min (f32 eps)
+        assert float(s(0)) == pytest.approx(1e-7, abs=1e-6)
+        # half cycle: base
+        assert float(s(5)) == pytest.approx(1.0, abs=1e-6)
+        assert float(s(10)) == pytest.approx(1e-7, abs=1e-6)
+
+
+class TestDiscoverTests:
+    def test_runner(self, tmp_path):
+        from csmpn_tpu.engineer.discover_tests import discover_and_run
+
+        good = tmp_path / "mod_ok.py"
+        good.write_text("def test():\n    assert True\n")
+        bad = tmp_path / "mod_bad.py"
+        bad.write_text("def test():\n    raise RuntimeError('boom')\n")
+        plain = tmp_path / "mod_plain.py"
+        plain.write_text("x = 1\n")
+        failures = discover_and_run(str(tmp_path))
+        assert failures == 1
+
+
+class TestCheckpointReplacement:
+    def test_stale_file_removed_on_improvement(self, tmp_path):
+        from csmpn_tpu.engineer.checkpoint import Checkpoint
+
+        class FakeLogger:
+            dir = str(tmp_path)
+
+        class FakeTrainer:
+            logger = FakeLogger()
+            current_epoch = 0
+            global_step = 1
+            should_test = False
+
+        ckpt = Checkpoint("val/loss")
+        state = ({"w": np.zeros(2)}, {"m": np.zeros(2)})
+        t = FakeTrainer()
+        ckpt.on_test_end(t, state, {"val/loss": 1.0})
+        assert t.should_test
+        path = os.path.join(str(tmp_path), "best_val_loss")
+        assert os.path.exists(path)
+        # improvement overwrites in place
+        ckpt.on_test_end(t, state, {"val/loss": 0.5})
+        assert ckpt.best_metrics["val/loss"] == 0.5
+        # no improvement: untouched
+        ckpt.on_test_end(t, state, {"val/loss": 0.9})
+        assert ckpt.best_metrics["val/loss"] == 0.5
