@@ -87,6 +87,7 @@ class Trainer:
         donate: bool = True,
         profile_dir: Optional[str] = None,
         profile_steps: tuple = (8, 12),
+        steps_per_dispatch: int = 1,
     ):
         callbacks = list(callbacks or [])
         if logger is None:
@@ -127,6 +128,10 @@ class Trainer:
         self.profile_dir = profile_dir
         self.profile_steps = profile_steps
         self._profiling = False
+        # >1: lax.scan this many optimizer steps inside ONE jitted dispatch
+        # (amortizes per-dispatch host overhead on remote/tunneled devices;
+        # log/val bookkeeping then runs at group granularity)
+        self.steps_per_dispatch = int(steps_per_dispatch)
 
         self.global_step = 0
         self.current_epoch = 0
@@ -169,8 +174,20 @@ class Trainer:
         def eval_step(params, batch, step):
             return model.apply(params, batch, step, "val")
 
+        def multi_step(params, opt_state, batches, step0):
+            def body(carry, batch):
+                params, opt_state, i = carry
+                p2, o2, loss, outputs = train_step(params, opt_state,
+                                                   batch, step0 + i)
+                return (p2, o2, i + 1), (loss, outputs)
+
+            (params, opt_state, _), (losses, outputs) = jax.lax.scan(
+                body, (params, opt_state, 0), batches)
+            return params, opt_state, losses, outputs
+
         donate = (0, 1) if self.donate else ()
         self._train_step_fn = jax.jit(train_step, donate_argnums=donate)
+        self._multi_step_fn = jax.jit(multi_step, donate_argnums=donate)
         self._eval_step_fn = jax.jit(eval_step)
 
     # ------------------------------------------------------------------- loop
@@ -230,6 +247,38 @@ class Trainer:
             self._profiling = False
             print(f"Profiler trace written to {self.profile_dir}")
 
+    def train_group(self, batches):
+        """Run len(batches) optimizer steps in one jitted lax.scan
+        dispatch."""
+        self._maybe_profile()
+        import numpy as _np
+
+        k = len(batches)
+        stacked = jax.tree.map(lambda *xs: _np.stack(xs), *batches)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sharding = NamedSharding(self.mesh, P(None, "data"))
+            stacked = jax.tree.map(
+                lambda x: jax.device_put(_np.asarray(x), sharding), stacked)
+        params, opt_state = self._state
+        params, opt_state, losses, outputs = self._multi_step_fn(
+            params, opt_state, stacked, self.global_step)
+        self._state = (params, opt_state)
+        outputs = jax.device_get(outputs)
+        losses = _np.asarray(jax.device_get(losses))
+        for i in range(k):
+            self._train_metrics.update(
+                **jax.tree.map(lambda x: x[i], outputs))
+        if _np.isnan(losses).any():
+            self.should_raise = ValueError("Loss is NaN.")
+        step0 = self.global_step
+        for i in range(k):
+            if (step0 + i) % self.print_interval == 0:
+                print(f"Step: {step0 + i} (Training) Loss: "
+                      f"{losses[i]:.4f}")
+        return k
+
     def train_step(self, batch):
         self._maybe_profile()
         params, opt_state = self._state
@@ -274,8 +323,19 @@ class Trainer:
         last_global_step = self.global_step
 
         while not self.should_stop:
+            pending = []
             for batch in train_loader:
-                self.train_step(batch)
+                if self.steps_per_dispatch > 1:
+                    pending.append(batch)
+                    if len(pending) < self.steps_per_dispatch:
+                        continue
+                    consumed = self.train_group(pending)
+                    pending = []
+                    # group bookkeeping: advance past the first k-1 steps,
+                    # then fall through to the per-step checks for the last
+                    self.global_step += consumed - 1
+                else:
+                    self.train_step(batch)
 
                 if self.global_step % self.log_interval == 0:
                     t1 = time.time()
@@ -314,5 +374,11 @@ class Trainer:
                     raise self.should_raise
                 if self.should_stop:
                     break
+            # flush a partial dispatch group at epoch end
+            if self.steps_per_dispatch > 1 and pending \
+                    and not self.should_stop:
+                for b in pending:
+                    self.train_step(b)
+                    self.global_step += 1
             self.current_epoch += 1
         return self._state[0]

@@ -144,3 +144,28 @@ class TestLoaderSharding:
         assert len(t0) + len(t1) == len(allt)
         assert set(np.round(t0, 5)) | set(np.round(t1, 5)) == set(
             np.round(allt, 5))
+
+
+class TestMultiStepDispatch:
+    def test_matches_single_step(self, dataset, model):
+        """steps_per_dispatch=4 must produce the same trained parameters as
+        the per-step path on the same data order."""
+        from csmpn_tpu.engineer.trainer import Trainer
+        from csmpn_tpu.engineer.loggers import ConsoleLogger
+        from csmpn_tpu.engineer.optim import adam
+
+        def train(k):
+            loader = dataset.train_loader(seed=123)
+            batch = next(iter(dataset.train_loader(seed=123)))
+            params = model.init(jax.random.PRNGKey(7), batch)
+            tr = Trainer(max_steps=8, val_check_interval=10**9,
+                         print_interval=4, log_interval=10**9,
+                         logger=ConsoleLogger(dir=None),
+                         steps_per_dispatch=k, donate=False)
+            return tr.fit(model, params, adam(lr=1e-3), loader)
+
+        p1 = train(1)
+        p4 = train(4)
+        for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p4)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=1e-5)
