@@ -104,3 +104,67 @@ def test_sgp_parity():
     out = m.apply(params, jnp.asarray(z["x"]))
     np.testing.assert_allclose(np.asarray(out), z["out"], rtol=1e-4,
                                atol=1e-5)
+
+
+def cemlp_params(z, prefix, n_layers=2):
+    """Map a reference CEMLP state dict (keys ``{prefix}layers.{i}.{j}.*``,
+    cegnn_utils.py:160-213) onto our flax CEMLP param tree."""
+    p = {}
+    for i in range(n_layers):
+        b = f"{prefix}layers.{i}."
+        p[f"linear_{i}"] = {"weight": jnp.asarray(z[b + "0.weight"]),
+                            "bias": jnp.asarray(z[b + "0.bias"][0])}
+        p[f"silu_{i}"] = {"a": jnp.asarray(z[b + "1.a"][0]),
+                          "b": jnp.asarray(z[b + "1.b"][0])}
+        p[f"gp_{i}"] = {
+            "weight": jnp.asarray(z[b + "2.weight"]),
+            "linear_right": {
+                "weight": jnp.asarray(z[b + "2.linear_right.weight"])},
+            "linear_left": {
+                "weight": jnp.asarray(z[b + "2.linear_left.weight"]),
+                "bias": jnp.asarray(z[b + "2.linear_left.bias"][0])},
+            "normalization": {
+                "a": jnp.asarray(z[b + "2.normalization.a"])},
+        }
+        p[f"norm_{i}"] = {"a": jnp.asarray(z[b + "3.a"][0])}
+    return p
+
+
+@pytest.mark.parametrize("tag,metric,feats", [
+    ("cemlp", (1.0, 1.0, 1.0), (4, 8, 6)),
+    ("cemlp_cl5", (1.0,) * 5, (3, 4, 3)),
+])
+def test_cemlp_parity(tag, metric, feats):
+    z = fixture(f"layer_{tag}.npz")
+    from csmpn_tpu.nn import CEMLP
+
+    alg = CliffordAlgebra(metric)
+    m = CEMLP(alg, *feats, n_layers=2)
+    params = {"params": cemlp_params(z, "sd.")}
+    out = m.apply(params, jnp.asarray(z["x"]))
+    np.testing.assert_allclose(np.asarray(out), z["out"], rtol=2e-4,
+                               atol=1e-5)
+
+
+@pytest.mark.parametrize("aggr", ["mean", "sum"])
+@pytest.mark.parametrize("edges_sorted", [True, False])
+def test_egcl_parity(aggr, edges_sorted):
+    """Full EGCL forward (gather -> edge CEMLP -> segment reduce -> node
+    CEMLP + residual) vs the reference MessagePassing pipeline
+    (cegnn_utils.py:216-284), incl. an isolated node (empty segment)."""
+    z = fixture(f"layer_egcl_{aggr}.npz")
+    from csmpn_tpu.nn import EGCL
+
+    alg = CliffordAlgebra((1.0, 1.0, 1.0))
+    m = EGCL(alg, 4, 8, 4, edge_attr_features=2, node_attr_features=2,
+             aggr=aggr, edges_sorted=edges_sorted)
+    params = {"params": {
+        "edge_model": cemlp_params(z, "sd.edge_model."),
+        "node_model": cemlp_params(z, "sd.node_model."),
+    }}
+    out = m.apply(params, jnp.asarray(z["h"]),
+                  jnp.asarray(z["edge_index"], dtype=jnp.int32),
+                  edge_attr=jnp.asarray(z["edge_attr"]),
+                  node_attr=jnp.asarray(z["node_attr"]))
+    np.testing.assert_allclose(np.asarray(out), z["out"], rtol=2e-4,
+                               atol=1e-5)
