@@ -146,6 +146,53 @@ def test_cemlp_parity(tag, metric, feats):
                                atol=1e-5)
 
 
+def test_hulls_model_parity():
+    """Full hulls model forward (embedding -> conditioning -> 3x EGCL ->
+    projection -> global mean pool -> MSE) vs the reference
+    HullsCliffordSharedSimplicialMPNN (hulls_cssmpnn.py:12-164) on a
+    2-graph batch with identical hull-lift topology."""
+    z = fixture("model_hulls.npz")
+    from csmpn_tpu.data.batching import (collate, pad_big_graph,
+                                         spec_from_graphs)
+    from csmpn_tpu.data.lifting import flatten_complex, hull_lift
+    from csmpn_tpu.models.hulls import HullsModel
+
+    points = z["points"]
+    bigs = [flatten_complex(hull_lift(p, 2)) for p in points]
+    spec = spec_from_graphs(bigs)
+    samples = [pad_big_graph(b, spec, {"input": p.astype(np.float32)})
+               for b, p in zip(bigs, points)]
+    tgts = [{"target": np.float32(t)} for t in z["target"]]
+    batch = collate(samples, tgts)
+
+    params = {
+        "cl_feature_embedding": {
+            "embed_0": {
+                "weight": jnp.asarray(z["sd.cl_feature_embedding.0.weight"]),
+                "bias": jnp.asarray(z["sd.cl_feature_embedding.0.bias"][0]),
+            },
+            "embed_1": cemlp_params(z, "sd.cl_feature_embedding.1.", 1),
+            "embed_2": cemlp_params(z, "sd.cl_feature_embedding.2.", 2),
+        },
+        "projection": {
+            "weight": jnp.asarray(z["sd.projection.0.weight"]),
+            "bias": jnp.asarray(z["sd.projection.0.bias"][0]),
+        },
+    }
+    for i in range(3):
+        params[f"egcl_{i}"] = {
+            "edge_model": cemlp_params(z, f"sd.layers.{i}.edge_model."),
+            "node_model": cemlp_params(z, f"sd.layers.{i}.node_model."),
+        }
+
+    model = HullsModel(spec=spec, hidden_features=8)
+    backprop_loss, outputs = model.apply({"params": params}, batch)
+    np.testing.assert_allclose(np.asarray(outputs["loss"]), z["loss"],
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(float(backprop_loss),
+                               float(z["backprop_loss"]), rtol=2e-4)
+
+
 @pytest.mark.parametrize("aggr", ["mean", "sum"])
 @pytest.mark.parametrize("edges_sorted", [True, False])
 def test_egcl_parity(aggr, edges_sorted):

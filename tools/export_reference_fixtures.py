@@ -84,8 +84,13 @@ def install_pyg_stub():
 
 
 def state_dict_arrays(module, prefix="sd."):
+    # drop the CliffordAlgebra buffers (cayley/metric/...): they are
+    # re-registered by every submodule holding the shared algebra instance
+    # and balloon the fixtures; the parity tests rebuild them from the
+    # metric signature (and the Cayley tables have their own fixtures).
     return {prefix + k: v.detach().numpy()
-            for k, v in module.state_dict().items()}
+            for k, v in module.state_dict().items()
+            if "algebra." not in k}
 
 
 def main():
@@ -190,9 +195,69 @@ def main():
             edge_attr=edge_attr.numpy(), node_attr=node_attr.numpy(),
             out=out.detach().numpy(), **state_dict_arrays(egcl))
 
+    # Full hulls model forward (hulls_cssmpnn.py:12-164) on a 2-graph
+    # batch.  Topology comes from OUR hull lift (deterministic Qhull
+    # faces; the lift itself is parity-tested separately) and is handed
+    # to the reference model through a PyG-collated-batch-shaped
+    # namespace, so both sides see identical graphs.
+    export_hulls_model(args.out, rng)
+
     for name, data in fixtures.items():
         np.savez(os.path.join(args.out, f"layer_{name}.npz"), **data)
-    print(f"wrote {len(fixtures) + 3} fixtures to {args.out}")
+    print(f"wrote {len(fixtures) + 4} fixtures to {args.out}")
+
+
+def export_hulls_model(out_dir, rng):
+    import torch
+    from scipy.spatial import ConvexHull
+
+    from csmpn.models.hulls_cssmpnn import HullsCliffordSharedSimplicialMPNN
+    from csmpn_tpu.data.lifting import flatten_complex, hull_lift
+
+    torch.manual_seed(1)
+    points = rng.randn(2, 8, 5).astype(np.float32)
+    volumes = np.asarray([ConvexHull(p).volume for p in points],
+                         dtype=np.float32)
+    bigs = [flatten_complex(hull_lift(p, 2)) for p in points]
+
+    # collate into the reference's PyG batch layout (follow_batch on
+    # node_types/x_ind; hulls.py:110): global node ids, per-node graph id,
+    # cumulative node pointers
+    inputs, x_ind, node_types, batch_vec, eis, ptr = [], [], [], [], [], [0]
+    off = 0
+    for gi, (big, p) in enumerate(zip(bigs, points)):
+        n = big.num_nodes
+        inp = np.zeros((n, 5), dtype=np.float32)
+        inp[:8] = p                      # vertices come first per sample
+        inputs.append(inp)
+        x_ind.append(big.x_ind)          # values are sample-local vertex ids
+        node_types.append(big.node_types)
+        batch_vec.append(np.full(n, gi, dtype=np.int64))
+        eis.append(big.edge_index + off)
+        off += n
+        ptr.append(off)
+
+    batch = types.SimpleNamespace(
+        input=torch.tensor(np.concatenate(inputs)),
+        x_ind=torch.tensor(np.concatenate(x_ind)),
+        node_types=torch.tensor(np.concatenate(node_types)),
+        batch=torch.tensor(np.concatenate(batch_vec)),
+        edge_index=torch.tensor(np.concatenate(eis, axis=1)),
+        ptr=torch.tensor(np.asarray(ptr, dtype=np.int64)),
+        x_ind_ptr=torch.tensor(np.asarray(ptr, dtype=np.int64)),
+        x_ind_batch=torch.tensor(np.concatenate(batch_vec)),
+        target=torch.tensor(volumes),
+    )
+
+    model = HullsCliffordSharedSimplicialMPNN(hidden_features=8)
+    with torch.no_grad():
+        backprop_loss, outputs = model(batch, 0, "test")
+    np.savez(
+        os.path.join(out_dir, "model_hulls.npz"),
+        points=points, target=volumes,
+        backprop_loss=backprop_loss.numpy(),
+        loss=outputs["loss"].numpy(),
+        **state_dict_arrays(model))
 
 
 if __name__ == "__main__":
