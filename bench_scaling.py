@@ -28,6 +28,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--simplices", type=int, default=1_000_000)
     ap.add_argument("--degree", type=int, default=16)
+    ap.add_argument("--locality", type=int, default=0,
+                    help="source window around the target (0 = fully random); real lifted complexes are local after sorting")
     ap.add_argument("--hidden", type=int, default=32)
     ap.add_argument("--devices", type=int, default=0)
     ap.add_argument("--steps", type=int, default=5)
@@ -36,7 +38,17 @@ def main():
                     default="halo")
     args = ap.parse_args()
 
+    import os
+
     import jax
+
+    # honor JAX_PLATFORMS=cpu for virtual-mesh runs: the ambient PJRT
+    # plugin re-pins the platform at registration, so the env var alone is
+    # not enough (see NOTES.md / tests/conftest.py)
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
 
     from csmpn_tpu.algebra import get_algebra
@@ -56,7 +68,8 @@ def main():
 
     print(f"# building synthetic complex: {n_nodes} simplices, "
           f"~{n_nodes * args.degree} edges")
-    ei = make_synthetic_complex(n_nodes, args.degree, seed=0)
+    ei = make_synthetic_complex(n_nodes, args.degree, seed=0,
+                                locality=args.locality or None)
     n_edges = ei.shape[1]
     rng = np.random.RandomState(0)
     h_host = rng.randn(n_nodes, args.hidden, 8).astype(np.float32)
@@ -71,34 +84,57 @@ def main():
         if n_nodes % n != 0:
             continue
         mesh = make_mesh(n)
+        feat_bytes = args.hidden * 8 * 4
         if args.exchange == "halo":
             part = partition_edges_halo(ei, n_nodes, n)
             apply_fn = sharded_egcl_apply_halo
+            # exact exchanged volume: one feature row per (owner, consumer,
+            # boundary simplex) pair, from the precomputed send masks
+            sent_rows = int(part.send_mask.sum())
+            padded_rows = part.n_shards * part.n_shards * part.h_max
+            comm = {"exchanged_rows": sent_rows,
+                    "padded_rows": padded_rows,
+                    "bytes": padded_rows * feat_bytes}
         else:
             part = partition_edges(ei, n_nodes, n)
             apply_fn = sharded_egcl_apply
+            # all_gather ships every shard's slab to every other shard
+            comm = {"exchanged_rows": (n - 1) * n_nodes,
+                    "padded_rows": (n - 1) * n_nodes,
+                    "bytes": (n - 1) * n_nodes * feat_bytes}
         h = jnp.asarray(h_host)
+        # partition tables enter as jit ARGUMENTS (closed-over constants
+        # get constant-folded by XLA with a serialized scatter loop and
+        # copied into the module — minutes of compile + GBs at this size)
+        if args.exchange == "halo":
+            arrs = (jnp.asarray(part.edge_index),
+                    jnp.asarray(part.edge_mask),
+                    jnp.asarray(part.send_idx),
+                    jnp.asarray(part.send_mask))
+        else:
+            arrs = (jnp.asarray(part.edge_index),
+                    jnp.asarray(part.edge_mask))
 
         if args.fwd_only:
-            def run(p, h):
-                return apply_fn(egcl, p, h, part, mesh)
+            def run(p, h, *arrs):
+                return apply_fn(egcl, p, h, part, mesh, arrays=arrs)
         else:
-            def loss(p, h):
-                out = apply_fn(egcl, p, h, part, mesh)
+            def loss(p, h, *arrs):
+                out = apply_fn(egcl, p, h, part, mesh, arrays=arrs)
                 return jnp.mean(out ** 2)
 
-            def run(p, h):
-                return jax.grad(loss)(p, h)
+            def run(p, h, *arrs):
+                return jax.grad(loss)(p, h, *arrs)
 
         fn = jax.jit(run)
-        out = fn(params, h)
+        out = fn(params, h, *arrs)
         jax.block_until_ready(out)
         # force completion through a host fetch (remote-execution relays
         # can return from block_until_ready early)
         _ = float(jax.tree.leaves(out)[0].reshape(-1)[0])
         t0 = time.perf_counter()
         for _ in range(args.steps):
-            out = fn(params, h)
+            out = fn(params, h, *arrs)
         _ = float(jax.tree.leaves(out)[0].reshape(-1)[0])
         dt = (time.perf_counter() - t0) / args.steps
         rate = n_edges / dt
@@ -109,6 +145,9 @@ def main():
             "mesh_devices": n,
             "value": round(rate, 1),
             "unit": "edges/s",
+            "comm_rows": comm["exchanged_rows"],
+            "comm_rows_padded": comm["padded_rows"],
+            "comm_mb": round(comm["bytes"] / 1e6, 2),
         }))
 
     if 1 in rates and n_devices in rates and n_devices > 1:

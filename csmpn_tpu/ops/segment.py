@@ -114,7 +114,10 @@ def segment_counts(segment_ids: jnp.ndarray, num_segments: int,
     ones = jnp.ones(segment_ids.shape, dtype=jnp.float32)
     if mask is not None:
         ones = jnp.where(mask, ones, 0.0)
-    if _on_tpu():
+    if indices_are_sorted:
+        # cumsum/gather on every platform: ids (and often the mask) are
+        # jit-time constants, and XLA constant-folds a scatter-add with a
+        # serialized per-row loop (minutes at ~1M edges on CPU)
         return _sorted_segment_sum_cumsum(ones, segment_ids, num_segments)
     return jax.ops.segment_sum(ones, segment_ids,
                                num_segments=num_segments,

@@ -77,9 +77,15 @@ def sharded_egcl_apply(
     axis: str = "data",
     node_attr: Optional[jnp.ndarray] = None,
     edge_attr: Optional[jnp.ndarray] = None,  # (n_shards*e_shard, Ce, nb)
+    arrays=None,   # optional (edge_index, edge_mask) device args
 ):
     """One EGCL layer over the partitioned complex.  Returns updated (N, C,
-    nb) node features, node-sharded over ``axis``."""
+    nb) node features, node-sharded over ``axis``.
+
+    ``arrays``: pass the partition's (edge_index, edge_mask) as explicit
+    jit ARGUMENTS when calling under an outer jax.jit — closed-over numpy
+    arrays become jaxpr constants that XLA constant-folds with a
+    serialized scatter loop and duplicates into the compiled module."""
     npshard = part.nodes_per_shard
     has_na = node_attr is not None
     has_ea = edge_attr is not None
@@ -103,7 +109,9 @@ def sharded_egcl_apply(
         return egcl.apply(params, h_local, agg, na_local,
                           method=EGCL.update)
 
-    args = [h, jnp.asarray(part.edge_index), jnp.asarray(part.edge_mask)]
+    ei_arr, mask_arr = arrays if arrays is not None else (
+        jnp.asarray(part.edge_index), jnp.asarray(part.edge_mask))
+    args = [h, ei_arr, mask_arr]
     specs = [P(axis), P(axis), P(axis)]
     if has_na:
         args.append(node_attr)
@@ -207,10 +215,14 @@ def sharded_egcl_apply_halo(
     part: HaloPartition,
     mesh: Mesh,
     axis: str = "data",
+    arrays=None,   # optional (edge_index, edge_mask, send_idx, send_mask)
 ):
     """One EGCL layer with halo exchange: ship only the boundary-simplex
     features each shard actually reads (all_to_all over ICI), overlapping
-    naturally with the local gather/MLP work XLA schedules around it."""
+    naturally with the local gather/MLP work XLA schedules around it.
+
+    ``arrays``: see sharded_egcl_apply — pass the partition tables as jit
+    arguments under an outer jax.jit."""
     nps = part.nodes_per_shard
 
     def shard_fn(h_local, edges_local, mask_local, send_idx_local,
@@ -238,25 +250,41 @@ def sharded_egcl_apply_halo(
 
     from jax import shard_map as _shard_map
 
-    # send tables are per-shard constants: shard them so each device gets
-    # its own row (wrapped with a leading length-1 axis per shard)
-    send_idx = jnp.asarray(part.send_idx)
-    send_mask = jnp.asarray(part.send_mask)
+    # send tables are per-shard: shard them so each device gets its own
+    # row (wrapped with a leading length-1 axis per shard)
+    if arrays is not None:
+        ei_arr, mask_arr, send_idx, send_mask = arrays
+    else:
+        ei_arr = jnp.asarray(part.edge_index)
+        mask_arr = jnp.asarray(part.edge_mask)
+        send_idx = jnp.asarray(part.send_idx)
+        send_mask = jnp.asarray(part.send_mask)
     fn = _shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
         out_specs=P(axis))
-    return fn(h, jnp.asarray(part.edge_index), jnp.asarray(part.edge_mask),
-              send_idx, send_mask)
+    return fn(h, ei_arr, mask_arr, send_idx, send_mask)
 
 
 def make_synthetic_complex(n_nodes: int, avg_degree: int,
-                           seed: int = 0) -> np.ndarray:
+                           seed: int = 0,
+                           locality: Optional[int] = None) -> np.ndarray:
     """Target-sorted synthetic incidence list for scaling benchmarks
-    (the >=10M-simplex workload generator)."""
+    (the >=10M-simplex workload generator).
+
+    ``locality``: when set, each source lies within +-locality of its
+    target (mod n_nodes) — the structure of real lifted complexes, where
+    geometrically nearby simplices get nearby ids after sorting.  Boundary
+    sets (and hence halo traffic) then scale with ``locality``, not with
+    the full shard size.  None = fully random (worst case: every node is
+    a boundary node of every shard)."""
     rng = np.random.RandomState(seed)
     n_edges = n_nodes * avg_degree
-    src = rng.randint(0, n_nodes, size=n_edges, dtype=np.int64)
     dst = rng.randint(0, n_nodes, size=n_edges, dtype=np.int64)
+    if locality is None:
+        src = rng.randint(0, n_nodes, size=n_edges, dtype=np.int64)
+    else:
+        off = rng.randint(-locality, locality + 1, size=n_edges)
+        src = (dst + off) % n_nodes
     order = np.lexsort((src, dst))
     return np.stack([src[order], dst[order]])
