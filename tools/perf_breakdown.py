@@ -29,19 +29,29 @@ V5E_F32_TFLOPS = 98.5         # f32 (bf16x3 ~ 1/4 of bf16 peak)
 
 
 def timed(fn, arg, steps=8, repeats=5):
-    """min seconds per application of fn, scan-chained inside one jit."""
-    import jax
+    """min seconds per application of fn, scan-chained inside one jit.
 
-    run = jax.jit(
-        lambda x: jax.lax.scan(lambda c, _: (fn(c), 0), x, None,
-                               length=steps)[0])
-    out = run(arg)
-    _ = float(np.asarray(jax.tree.leaves(out)[0]).reshape(-1)[0])  # sync
+    The jitted wrapper reduces the result to ONE scalar on device: the
+    completion fetch must move 4 bytes, not the output array — the
+    measurement tunnel runs at ~50 MB/s and would dominate otherwise."""
+    import jax
+    import jax.numpy as jnp
+
+    def body(c, _):
+        return fn(c), 0
+
+    def run_(x):
+        out = jax.lax.scan(body, x, None, length=steps)[0]
+        return out, jnp.asarray(jax.tree.leaves(out)[0]).ravel()[0]
+
+    run = jax.jit(run_)
+    out, s = run(arg)
+    _ = float(s)  # sync
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        out = run(arg)
-        _ = float(np.asarray(jax.tree.leaves(out)[0]).reshape(-1)[0])
+        out, s = run(arg)
+        _ = float(s)
         best = min(best, (time.perf_counter() - t0) / steps)
     return best
 
@@ -58,6 +68,9 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
 
     from csmpn_tpu.algebra import get_algebra
