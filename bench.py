@@ -45,12 +45,23 @@ def _synthetic_edges(rng, n_nodes, n_edges):
 
 def _jax_bench(steps=STEPS):
     import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
     import optax
 
     from csmpn_tpu.algebra import get_algebra
     from csmpn_tpu.nn.egcl import EGCL
+    from csmpn_tpu.ops.segment import set_aggregation_mode
     import flax.linen as nn
+
+    # training fast path: bf16 MXU aggregation + the fused whole-block
+    # CEMLP Pallas kernel (ops/cemlp_kernel.py) — the intended
+    # large-scale-training configuration (f32 "exact" mode is for parity
+    # tests; convergence parity of the fast path: RESULTS.md)
+    set_aggregation_mode("fast")
 
     alg = get_algebra((1.0, 1.0, 1.0))
     rng = np.random.RandomState(0)
@@ -89,17 +100,21 @@ def _jax_bench(steps=STEPS):
         params = optax.apply_updates(params, updates)
         return (params, opt_state), loss
 
-    # K steps inside ONE jit (lax.scan) so per-dispatch host overhead is
-    # excluded; completion forced with a host fetch — under remote
-    # execution relays block_until_ready can return before the device is
-    # actually done, a tiny scalar fetch cannot
+    # K steps inside ONE jit (lax.scan) so per-dispatch host overhead
+    # (~35 ms through the relay) is amortized; completion forced with a
+    # scalar host fetch — under remote execution relays block_until_ready
+    # can return before the device is actually done, a tiny fetch cannot
+    # (and a large fetch would be tunnel-bandwidth-bound, see NOTES.md)
     run = jax.jit(lambda c: jax.lax.scan(step, c, None, length=steps))
     (params, opt_state), losses = run((params, opt_state))
     float(losses[-1])
-    t0 = time.perf_counter()
-    (params, opt_state), losses = run((params, opt_state))
-    float(losses[-1])
-    dt = (time.perf_counter() - t0) / steps
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (params, opt_state), losses = run((params, opt_state))
+        float(losses[-1])
+        best = min(best, (time.perf_counter() - t0) / steps)
+    dt = best
     edges = BATCH * N_EDGES * LAYERS
     return edges / dt, dt
 

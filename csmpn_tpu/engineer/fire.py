@@ -59,6 +59,12 @@ def _dist_setup() -> Dict:
 
 
 def fire(function: Callable[[Dict], None]) -> None:
+    # Honor JAX_PLATFORMS explicitly: ambient PJRT plugins can re-pin the
+    # platform at registration time, silently overriding the env var (a
+    # CLI run with JAX_PLATFORMS=cpu would land on the accelerator).
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        jax.config.update("jax_platforms", plat)
     config, name, experiment = parse_args()
     print("\nConfiguration\n---")
     pretty(config)

@@ -79,6 +79,111 @@ def write_slurm_jobfile(config_path: str, out_path: str,
     return out_path
 
 
+def git_detached(run=None) -> bool:
+    """Reference sweep.py:100-104: refuse to sweep from a detached HEAD
+    (the sweep tag must land on a branch)."""
+    run = run or _run_git
+    return "HEAD detached" in run("git status")
+
+
+def git_sync_status(run=None) -> str:
+    """ahead / behind / diverged / up-to-date vs upstream (reference
+    sweep.py:107-123); 'no-upstream' when there is no remote tracking
+    branch (common in offline checkouts)."""
+    run = run or _run_git
+    run("git fetch")
+    status = run("git rev-list --left-right --count HEAD...@{u}")
+    try:
+        behind, ahead = map(int, status.split())
+    except ValueError:
+        return "no-upstream"
+    if ahead and behind:
+        return "diverged"
+    if ahead:
+        return "ahead"
+    if behind:
+        return "behind"
+    return "up-to-date"
+
+
+def tag_sweep_commit(sweep_id: str, push: bool = False, run=None) -> None:
+    """Pin the exact code state of a sweep: empty commit + tag named after
+    the sweep id (reference sweep.py:58-72, `commit_files`), so workers can
+    `git checkout <sweep_id>`.  Push is opt-in (offline environments)."""
+    run = run or _run_git
+    run(f"git commit --allow-empty -m {sweep_id}")
+    run(f"git tag {sweep_id}")
+    if push:
+        run("git push")
+        run(f"git push origin {sweep_id}")
+
+
+def _run_git(cmd: str) -> str:
+    out = subprocess.run(cmd, shell=True, capture_output=True, text=True)
+    return (out.stdout + out.stderr).strip()
+
+
+def register_wandb_sweep(config: Dict, wandb_module=None) -> str:
+    """Register the grid as a wandb sweep and return the sweep id
+    (reference sweep.py:169): the config IS already wandb-sweep-shaped
+    (program/command/parameters).  ``wandb_module`` is injectable so the
+    flow is testable offline; by default the real wandb is imported and a
+    clear error raised when it is unavailable."""
+    if wandb_module is None:
+        try:
+            import wandb as wandb_module  # noqa: F811
+        except ImportError as e:
+            raise RuntimeError(
+                "wandb is not installed; use `sweep_local` or "
+                "`main_cluster` (wandb-free jobfile) instead.") from e
+    project = config.get("project", "csmpn_tpu")
+    entity = config.get("entity")
+    return wandb_module.sweep(sweep=config, project=project, entity=entity)
+
+
+def sweep_wandb(config_path: str, wandb_module=None, run_git=None,
+                push: bool = False, jobfile: Optional[str] = None,
+                partition: str = "gpu", time: str = "24:00:00") -> str:
+    """The reference `sweep` console flow (sweep.py:127-200): git-state
+    guard -> wandb sweep registration -> SLURM array jobfile whose tasks
+    run `wandb agent` -> sweep-id git tag.  Returns the sweep id."""
+    run_git = run_git or _run_git
+    if git_detached(run_git):
+        raise RuntimeError("git is a detached HEAD; checkout a branch.")
+    status = git_sync_status(run_git)
+    if status in ("behind", "diverged"):
+        print(f"WARNING: git is {status} vs remote; workers checking out "
+              "the sweep tag will not see remote changes.")
+
+    with open(config_path) as f:
+        config = yaml.safe_load(f)
+    sweep_id = register_wandb_sweep(config, wandb_module)
+
+    project = config.get("project", "csmpn_tpu")
+    entity = config.get("entity") or "${WANDB_ENTITY}"
+    agent = f"WANDB_ENABLED=TRUE wandb agent {entity}/{project}/{sweep_id}"
+    n_jobs = len(expand_grid(config))
+    if jobfile:
+        lines = [
+            "#!/bin/bash",
+            f"#SBATCH --array=1-{n_jobs}",
+            f"#SBATCH --partition={partition}",
+            f"#SBATCH --time={time}",
+            "",
+            f"git checkout {sweep_id}",
+            agent,
+            "",
+        ]
+        with open(jobfile, "w") as f:
+            f.write("\n".join(lines))
+        print(f"Wrote SLURM agent jobfile: {jobfile}")
+
+    tag_sweep_commit(sweep_id, push=push, run=run_git)
+    print(f"Registered sweep {sweep_id}; run with: "
+          f"git checkout {sweep_id} && {agent}")
+    return sweep_id
+
+
 def main() -> None:
     sys.exit(sweep_local(sys.argv[1], sys.argv[2:]))
 
@@ -86,8 +191,8 @@ def main() -> None:
 def main_cluster() -> None:
     """Cluster analogue of the reference `sweep` console script
     (sweep.py:127-200): expands the grid into a SLURM array jobfile.
-    wandb sweep registration is intentionally omitted (offline
-    environments); the jobfile is self-contained."""
+    Use --wandb to also register the sweep and tag the commit (requires
+    wandb + network); without it the jobfile is self-contained."""
     import argparse
 
     ap = argparse.ArgumentParser()
@@ -95,7 +200,16 @@ def main_cluster() -> None:
     ap.add_argument("--out", default="sweep_job.sh")
     ap.add_argument("--partition", default="gpu")
     ap.add_argument("--time", default="24:00:00")
+    ap.add_argument("--wandb", action="store_true",
+                    help="register a wandb sweep + git tag (reference "
+                         "`sweep` flow)")
+    ap.add_argument("--push", action="store_true",
+                    help="push the sweep tag to origin")
     args, extra = ap.parse_known_args()
+    if args.wandb:
+        sweep_wandb(args.config, push=args.push, jobfile=args.out,
+                    partition=args.partition, time=args.time)
+        return
     path = write_slurm_jobfile(args.config, args.out,
                                partition=args.partition, time=args.time,
                                extra_args=extra)

@@ -88,6 +88,7 @@ class Trainer:
         profile_dir: Optional[str] = None,
         profile_steps: tuple = (8, 12),
         steps_per_dispatch: int = 1,
+        eval_batches_per_dispatch: int = 1,
     ):
         callbacks = list(callbacks or [])
         if logger is None:
@@ -132,6 +133,10 @@ class Trainer:
         # (amortizes per-dispatch host overhead on remote/tunneled devices;
         # log/val bookkeeping then runs at group granularity)
         self.steps_per_dispatch = int(steps_per_dispatch)
+        # same amortization for eval: scan K same-shaped val/test batches
+        # per dispatch (metric updates are unaffected — outputs are
+        # unstacked on the host)
+        self.eval_batches_per_dispatch = int(eval_batches_per_dispatch)
 
         self.global_step = 0
         self.current_epoch = 0
@@ -185,10 +190,19 @@ class Trainer:
                 body, (params, opt_state, 0), batches)
             return params, opt_state, losses, outputs
 
+        def multi_eval(params, batches, step0):
+            def body(i, batch):
+                _, outputs = eval_step(params, batch, step0 + i)
+                return i + 1, outputs
+
+            _, outputs = jax.lax.scan(body, 0, batches)
+            return outputs
+
         donate = (0, 1) if self.donate else ()
         self._train_step_fn = jax.jit(train_step, donate_argnums=donate)
         self._multi_step_fn = jax.jit(multi_step, donate_argnums=donate)
         self._eval_step_fn = jax.jit(eval_step)
+        self._multi_eval_fn = jax.jit(multi_eval)
 
     # ------------------------------------------------------------------- loop
 
@@ -211,15 +225,19 @@ class Trainer:
         label = "Validation" if validation else "Testing"
         num_iterations = int(min(len(test_loader), self.limit_val_batches))
         t0 = time.time()
-        for batch_idx, batch in enumerate(test_loader):
-            if batch_idx >= self.limit_val_batches:
-                break
-            batch = self._shard_batch(batch)
-            _, outputs = self._eval_step_fn(params, batch, batch_idx)
-            metrics.update(**jax.device_get(outputs))
-            if batch_idx % self.print_interval == 0:
-                print(f"Step: {self.global_step} ({label}) "
-                      f"Batch: {batch_idx} / {num_iterations}")
+        if self.eval_batches_per_dispatch > 1:
+            self._eval_grouped(params, test_loader, metrics, label,
+                               num_iterations)
+        else:
+            for batch_idx, batch in enumerate(test_loader):
+                if batch_idx >= self.limit_val_batches:
+                    break
+                batch = self._shard_batch(batch)
+                _, outputs = self._eval_step_fn(params, batch, batch_idx)
+                metrics.update(**jax.device_get(outputs))
+                if batch_idx % self.print_interval == 0:
+                    print(f"Step: {self.global_step} ({label}) "
+                          f"Batch: {batch_idx} / {num_iterations}")
         s_it = (time.time() - t0) / max(num_iterations, 1)
         computed = metrics.compute()
         metrics.reset()
@@ -231,6 +249,45 @@ class Trainer:
             for callback in self.callbacks:
                 callback.on_test_end(self, self._state, computed)
         return computed
+
+    def _eval_grouped(self, params, test_loader, metrics, label,
+                      num_iterations):
+        """Scan-grouped eval: K same-shaped batches per jitted dispatch.
+        A trailing partial group falls back to per-batch eval (a second
+        trace would otherwise be compiled for the remainder length)."""
+        k = self.eval_batches_per_dispatch
+        pending, batch_idx = [], 0
+
+        def flush_group(group):
+            stacked = jax.tree.map(lambda *xs: np.stack(xs), *group)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                sharding = NamedSharding(self.mesh, P(None, "data"))
+                stacked = jax.tree.map(
+                    lambda x: jax.device_put(np.asarray(x), sharding),
+                    stacked)
+            outputs = jax.device_get(
+                self._multi_eval_fn(params, stacked,
+                                    batch_idx - len(group)))
+            for i in range(len(group)):
+                metrics.update(**jax.tree.map(lambda x: x[i], outputs))
+
+        for batch in test_loader:
+            if batch_idx >= self.limit_val_batches:
+                break
+            pending.append(batch)
+            batch_idx += 1
+            if len(pending) == k:
+                flush_group(pending)
+                pending = []
+                print(f"Step: {self.global_step} ({label}) "
+                      f"Batch: {batch_idx} / {num_iterations}")
+        for i, batch in enumerate(pending):
+            batch = self._shard_batch(batch)
+            _, outputs = self._eval_step_fn(params, batch,
+                                            batch_idx - len(pending) + i)
+            metrics.update(**jax.device_get(outputs))
 
     def _maybe_profile(self):
         if self.profile_dir is None:

@@ -45,6 +45,9 @@ class EGCL(nn.Module):
     normalization_init: Optional[float] = 0.0
     aggr: str = "mean"
     edges_sorted: bool = True
+    # None = auto: fused whole-block CEMLP Pallas kernel on TPU for
+    # small-blade algebras (ops/cemlp_kernel.py)
+    fused_mlp: Optional[bool] = None
 
     def setup(self):
         self.edge_model = CEMLP(
@@ -53,6 +56,7 @@ class EGCL(nn.Module):
             self.hidden_features,
             self.out_features,
             normalization_init=self.normalization_init,
+            fused=self.fused_mlp,
         )
         self.node_model = CEMLP(
             self.algebra,
@@ -60,6 +64,7 @@ class EGCL(nn.Module):
             self.hidden_features,
             self.out_features,
             normalization_init=self.normalization_init,
+            fused=self.fused_mlp,
         )
 
     def message(self, h_i: jnp.ndarray, h_j: jnp.ndarray,

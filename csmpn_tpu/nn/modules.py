@@ -13,9 +13,9 @@ TPU notes:
   * all per-grade invariants (norms / mag2) are computed with one masked
     matmul over the blade axis (``algebra.norms_cat``) rather than dim+1
     slice-reductions;
-  * the weighted geometric product is a single batched contraction that XLA
-    maps onto the MXU; a fused Pallas kernel backs it on TPU for the hot
-    configuration (see ops/gp_kernel.py).
+  * the layers are written setup-style so the fused whole-CEMLP Pallas
+    kernel (ops/cemlp_kernel.py) can read the SAME parameter tree and
+    replace the composed XLA ops on the per-edge hot path.
 """
 from __future__ import annotations
 
@@ -52,25 +52,30 @@ class MVLinear(nn.Module):
     subspaces: bool = True
     use_bias: bool = True
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        alg = self.algebra
+    def setup(self):
         init = normal_init(1.0 / math.sqrt(self.in_features))
         if self.subspaces:
-            w = self.param(
+            self.weight = self.param(
                 "weight", init,
-                (self.out_features, self.in_features, alg.n_subspaces))
-            w_full = w[..., alg.blade_to_grade]  # (out, in, n_blades)
+                (self.out_features, self.in_features,
+                 self.algebra.n_subspaces))
+        else:
+            self.weight = self.param(
+                "weight", init, (self.out_features, self.in_features))
+        if self.use_bias:
+            self.bias = self.param("bias", nn.initializers.zeros,
+                                   (self.out_features, 1))
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        alg = self.algebra
+        if self.subspaces:
+            w_full = self.weight[..., alg.blade_to_grade]  # (out, in, n_blades)
             out = jnp.einsum("...mi,nmi->...ni", x, w_full)
         else:
-            w = self.param("weight", init,
-                           (self.out_features, self.in_features))
-            out = jnp.einsum("...mi,nm->...ni", x, w)
+            out = jnp.einsum("...mi,nm->...ni", x, self.weight)
         if self.use_bias:
-            b = self.param("bias", nn.initializers.zeros,
-                           (self.out_features, 1))
             # scalar-blade bias embedded at blade 0
-            out = out.at[..., :1].add(b)
+            out = out.at[..., :1].add(self.bias)
         return out
 
 
@@ -83,13 +88,14 @@ class MVSiLU(nn.Module):
     channels: int
     invariant: str = "mag2"
 
-    @nn.compact
+    def setup(self):
+        self.a = self.param("a", nn.initializers.ones,
+                            (self.channels, self.algebra.dim + 1))
+        self.b = self.param("b", nn.initializers.zeros,
+                            (self.channels, self.algebra.dim + 1))
+
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         alg = self.algebra
-        a = self.param("a", nn.initializers.ones,
-                       (self.channels, alg.dim + 1))
-        b = self.param("b", nn.initializers.zeros,
-                       (self.channels, alg.dim + 1))
         if self.invariant == "mag2":
             inv = alg.qs_cat(x)
         elif self.invariant == "norm":
@@ -98,7 +104,7 @@ class MVSiLU(nn.Module):
             raise ValueError(f"Invariant {self.invariant} not recognized.")
         # grade-0 entry is the raw scalar blade value, not its invariant
         inv = jnp.concatenate([x[..., :1], inv[..., 1:]], axis=-1)
-        gate = a * inv + b
+        gate = self.a * inv + self.b
         gate = gate[..., alg.blade_to_grade]
         return jax.nn.sigmoid(gate) * x
 
@@ -111,14 +117,15 @@ class NormalizationLayer(nn.Module):
     features: int
     init_scale: float = 0.0  # named `init` in the reference ctor (:35)
 
-    @nn.compact
+    def setup(self):
+        self.a = self.param(
+            "a", nn.initializers.constant(self.init_scale),
+            (self.features, self.algebra.n_subspaces))
+
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         alg = self.algebra
-        a = self.param(
-            "a", nn.initializers.constant(self.init_scale),
-            (self.features, alg.n_subspaces))
         norms = alg.norms_cat(x)                      # (..., C, n_subspaces)
-        s_a = jax.nn.sigmoid(a)
+        s_a = jax.nn.sigmoid(self.a)
         norms = s_a * (norms - 1.0) + 1.0             # interpolate to 1
         norms = norms[..., alg.blade_to_grade]
         return x / (norms + EPS)
@@ -131,12 +138,13 @@ class MVLayerNorm(nn.Module):
     algebra: CliffordAlgebra
     channels: int
 
-    @nn.compact
+    def setup(self):
+        self.a = self.param("a", nn.initializers.ones, (self.channels,))
+
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        a = self.param("a", nn.initializers.ones, (self.channels,))
         norm = self.algebra.norm(x)                   # (..., C, 1)
         norm = jnp.mean(norm, axis=-2, keepdims=True) + EPS
-        return a[:, None] * x / norm
+        return self.a[:, None] * x / norm
 
 
 class SteerableGeometricProductLayer(nn.Module):
@@ -153,43 +161,59 @@ class SteerableGeometricProductLayer(nn.Module):
     features: int
     include_first_order: bool = True
     normalization_init: Optional[float] = 0.0
-    # "dense": nb^3 einsum — XLA factors it into MXU matmuls, fastest on
-    # TPU (measured 0.07ms vs 0.09ms pair for Cl(5) @16k rows, 8x for
-    # Cl(3)).  "pair": nb^2 sparse form, kept for low-lane backends.
+    # "dense": nb^3 einsum — XLA factors it into MXU matmuls.  "pair": nb^2
+    # sparse form, kept for low-lane backends.  The per-edge hot path on
+    # TPU uses the fused CEMLP kernel instead (ops/cemlp_kernel.py).
     impl: str = "dense"
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def setup(self):
         alg = self.algebra
-        paths = alg.geometric_product_paths           # (d+1, d+1, d+1) bool
-        n_paths = int(paths.sum())
-        w = self.param(
+        n_paths = int(alg.geometric_product_paths.sum())
+        self.weight = self.param(
             "weight", normal_init(1.0 / math.sqrt(alg.dim + 1)),
             (self.features, n_paths))
-
-        x_right = MVLinear(alg, self.features, self.features,
-                           use_bias=False, name="linear_right")(x)
+        self.linear_right = MVLinear(alg, self.features, self.features,
+                                     use_bias=False, name="linear_right")
         if self.normalization_init is not None:
-            x_right = NormalizationLayer(
+            self.normalization = NormalizationLayer(
                 alg, self.features, self.normalization_init,
-                name="normalization")(x_right)
+                name="normalization")
+        if self.include_first_order:
+            self.linear_left = MVLinear(alg, self.features, self.features,
+                                        use_bias=True, name="linear_left")
 
-        # scatter the per-path weights into the (d+1)^3 grade cube
-        idx = np.argwhere(paths)                      # (n_paths, 3) static
+    def weighted_cayley(self) -> jnp.ndarray:
+        """Blade-resolution weighted Cayley tensor (C, nb, nb, nb)."""
+        alg = self.algebra
+        paths = alg.geometric_product_paths          # (d+1, d+1, d+1) bool
+        idx = np.argwhere(paths)                     # (n_paths, 3) static
         cube = jnp.zeros((self.features, alg.dim + 1, alg.dim + 1,
-                          alg.dim + 1), dtype=w.dtype)
-        cube = cube.at[:, idx[:, 0], idx[:, 1], idx[:, 2]].set(w)
+                          alg.dim + 1), dtype=self.weight.dtype)
+        cube = cube.at[:, idx[:, 0], idx[:, 1], idx[:, 2]].set(self.weight)
         g = alg.blade_to_grade
+        w_blades = cube[:, g][:, :, g][:, :, :, g]   # (C, nb, nb, nb)
+        return jnp.asarray(alg.cayley, dtype=self.weight.dtype) * w_blades
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        alg = self.algebra
+        x_right = self.linear_right(x)
+        if self.normalization_init is not None:
+            x_right = self.normalization(x_right)
 
         if self.impl == "dense":
-            # blade-resolution weighted Cayley, full nb^3 contraction
-            w_blades = cube[:, g][:, :, g][:, :, :, g]  # (C, nb, nb, nb)
-            weighted = jnp.asarray(alg.cayley, dtype=x.dtype) * w_blades
+            weighted = self.weighted_cayley().astype(x.dtype)
             out = jnp.einsum("...ni,nijk,...nk->...nj", x, weighted,
                              x_right)
         else:
             # sparse pair form: out_j = sum_k coeff[j,k] w[n,path(j,k)]
             # x[..., i_of[j,k]] xr[..., k]  — nb^2 work, VPU-friendly
+            paths = alg.geometric_product_paths
+            idx = np.argwhere(paths)
+            cube = jnp.zeros((self.features, alg.dim + 1, alg.dim + 1,
+                              alg.dim + 1), dtype=self.weight.dtype)
+            cube = cube.at[:, idx[:, 0], idx[:, 1], idx[:, 2]].set(
+                self.weight)
+            g = alg.blade_to_grade
             i_of, coeff = alg.gp_pair_tables          # (nb, nb) each
             wp = cube[:, g[i_of], g[:, None], g[None, :]]  # (C, nb, nb)
             cw = jnp.asarray(coeff, dtype=x.dtype) * wp
@@ -197,15 +221,18 @@ class SteerableGeometricProductLayer(nn.Module):
             out = jnp.einsum("...njk,njk,...nk->...nj", xg, cw, x_right)
 
         if self.include_first_order:
-            first = MVLinear(alg, self.features, self.features,
-                             use_bias=True, name="linear_left")(x)
-            out = (first + out) / math.sqrt(2)
+            out = (self.linear_left(x) + out) / math.sqrt(2)
         return out
 
 
 class CEMLP(nn.Module):
     """Stack of [MVLinear -> MVSiLU -> SGP -> MVLayerNorm] blocks
-    (reference CEMLP :160-213); the shared message/update network."""
+    (reference CEMLP :160-213); the shared message/update network.
+
+    ``fused``: None = auto (use the fused whole-block Pallas kernel on TPU
+    for algebras it supports); True/False forces.  The fused path reads the
+    SAME parameter tree, so checkpoints and fixtures are interchangeable.
+    """
 
     algebra: CliffordAlgebra
     in_features: int
@@ -213,21 +240,42 @@ class CEMLP(nn.Module):
     out_features: int
     n_layers: int = 2
     normalization_init: Optional[float] = 0.0
+    fused: Optional[bool] = None
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def setup(self):
         alg = self.algebra
         widths = (
             [self.in_features]
             + [self.hidden_features] * (self.n_layers - 1)
             + [self.out_features]
         )
+        self.widths = widths
         for i in range(self.n_layers):
             f_in, f_out = widths[i], widths[i + 1]
-            x = MVLinear(alg, f_in, f_out, name=f"linear_{i}")(x)
-            x = MVSiLU(alg, f_out, name=f"silu_{i}")(x)
-            x = SteerableGeometricProductLayer(
+            setattr(self, f"linear_{i}",
+                    MVLinear(alg, f_in, f_out, name=f"linear_{i}"))
+            setattr(self, f"silu_{i}", MVSiLU(alg, f_out, name=f"silu_{i}"))
+            setattr(self, f"gp_{i}", SteerableGeometricProductLayer(
                 alg, f_out, normalization_init=self.normalization_init,
-                name=f"gp_{i}")(x)
-            x = MVLayerNorm(alg, f_out, name=f"norm_{i}")(x)
+                name=f"gp_{i}"))
+            setattr(self, f"norm_{i}",
+                    MVLayerNorm(alg, f_out, name=f"norm_{i}"))
+
+    def _use_fused(self) -> bool:
+        if self.fused is not None:
+            return self.fused
+        from ..ops.cemlp_kernel import fused_supported
+
+        return fused_supported(self.algebra)
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self._use_fused():
+            from ..ops.cemlp_kernel import apply_fused_cemlp
+
+            return apply_fused_cemlp(self, x)
+        for i in range(self.n_layers):
+            x = getattr(self, f"linear_{i}")(x)
+            x = getattr(self, f"silu_{i}")(x)
+            x = getattr(self, f"gp_{i}")(x)
+            x = getattr(self, f"norm_{i}")(x)
         return x

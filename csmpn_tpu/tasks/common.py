@@ -15,6 +15,16 @@ from ..parallel.mesh import make_mesh
 
 
 def run_task(config: Dict) -> None:
+    # --precision=fast: bf16 MXU aggregation + fused CEMLP kernels (the
+    # large-scale training configuration; "exact" f32 is the default and
+    # what parity tests use).  Convergence parity of fast vs exact on the
+    # hulls task: RESULTS.md.
+    precision = config.get("precision", "exact")
+    if precision != "exact":
+        from ..ops.segment import set_aggregation_mode
+
+        set_aggregation_mode(precision)
+
     dataset_cfg = dict(config["dataset"])
     dataset = load_module(dataset_cfg.pop("module"))(**dataset_cfg)
 

@@ -19,14 +19,22 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=4"
     ).strip()
 
+# Silence XLA:CPU AOT-loader ERROR spam (harmless but ~23k lines through
+# pytest's output capture; also hit by the CLI subprocess tests).
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
 import jax  # noqa: E402
 
 # The env var alone is not enough: the ambient axon PJRT plugin re-pins the
 # platform at registration time, so pin it again at the config level.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
-# Persistent compilation cache: compiles in this environment are slow
-# (remote-compile relay), so cache them across test runs.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+# NO persistent compilation cache for the CPU suite.  This jaxlib's
+# XLA:CPU AOT cache is broken two ways: (1) entries bake tuning hints
+# (+prefer-no-scatter/+prefer-no-gather) into the target-feature string
+# and the loader rejects them against the real host features (an E-line
+# per load); (2) with the cache on, the 4-device-mesh training test
+# deterministically SIGABRTs inside device_get when the full suite runs
+# under pytest capture (passes with -s or with the cache off — verified
+# both ways twice).  Cache-less is ~33 min vs ~13; correctness wins.
+# TPU bench scripts keep the cache — TPU executables load fine.

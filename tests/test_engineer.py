@@ -151,6 +151,80 @@ class TestSweep:
         assert any("--lr=0.2" in c for c in cmds)
 
 
+class TestWandbSweep:
+    """Reference `sweep` console flow (sweep.py:127-200): wandb sweep
+    registration, agent jobfile, sweep-id git tag — exercised offline with
+    an injected fake wandb module and a throwaway git repo."""
+
+    def _write_cfg(self, tmp_path):
+        import yaml
+
+        cfg = {
+            "program": "csmpn_tpu/tasks/hulls.py",
+            "project": "csmpn-tests",
+            "command": ["${env}", "${interpreter}", "${program}",
+                        "${args}"],
+            "parameters": {"lr": {"values": [0.1, 0.2, 0.3]}},
+        }
+        p = tmp_path / "sweep.yaml"
+        p.write_text(yaml.safe_dump(cfg))
+        return p
+
+    def test_register_tag_and_jobfile(self, tmp_path, monkeypatch):
+        import subprocess
+
+        from csmpn_tpu.engineer.sweep import sweep_wandb
+
+        repo = tmp_path / "repo"
+        repo.mkdir()
+        monkeypatch.chdir(repo)
+        for cmd in ("git init -q", "git config user.email t@t",
+                    "git config user.name t",
+                    "git commit --allow-empty -q -m init"):
+            subprocess.run(cmd, shell=True, check=True)
+
+        class FakeWandb:
+            @staticmethod
+            def sweep(sweep, project=None, entity=None):
+                assert project == "csmpn-tests"
+                assert sweep["parameters"]["lr"]["values"] == [0.1, 0.2, 0.3]
+                return "abc123"
+
+        cfg = self._write_cfg(tmp_path)
+        job = tmp_path / "job.sh"
+        sweep_id = sweep_wandb(str(cfg), wandb_module=FakeWandb,
+                               jobfile=str(job))
+        assert sweep_id == "abc123"
+        text = job.read_text()
+        assert "#SBATCH --array=1-3" in text          # one task per combo
+        assert "git checkout abc123" in text
+        assert "wandb agent" in text and "abc123" in text
+        tags = subprocess.run("git tag", shell=True, capture_output=True,
+                              text=True).stdout.split()
+        assert "abc123" in tags                        # sweep-id tag pinned
+
+    def test_detached_head_refused(self, tmp_path):
+        from csmpn_tpu.engineer.sweep import sweep_wandb
+
+        def fake_git(cmd):
+            return "HEAD detached at 1234abc" if "status" in cmd else ""
+
+        with pytest.raises(RuntimeError, match="detached"):
+            sweep_wandb(str(self._write_cfg(tmp_path)), wandb_module=None,
+                        run_git=fake_git)
+
+    def test_missing_wandb_clear_error(self, tmp_path):
+        from csmpn_tpu.engineer.sweep import register_wandb_sweep
+
+        try:
+            import wandb  # noqa: F401
+            pytest.skip("real wandb present")
+        except ImportError:
+            pass
+        with pytest.raises(RuntimeError, match="not installed"):
+            register_wandb_sweep({"parameters": {}})
+
+
 class TestMoreMetrics:
     def test_accuracy(self):
         m = Accuracy()

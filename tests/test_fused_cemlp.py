@@ -1,0 +1,95 @@
+"""Fused whole-block CEMLP kernel (ops/cemlp_kernel.py) vs the composed
+layer stack: forward, input gradients, and EVERY parameter gradient must
+match (kernel run in interpret mode on CPU; on TPU the same code compiles
+via Mosaic)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from csmpn_tpu.algebra import get_algebra
+from csmpn_tpu.nn.modules import CEMLP
+from csmpn_tpu.nn.egcl import EGCL
+
+
+def _grads_match(ga, gb, rtol=1e-4, atol=1e-5):
+    la = sorted(jax.tree_util.tree_leaves_with_path(ga), key=str)
+    lb = sorted(jax.tree_util.tree_leaves_with_path(gb), key=str)
+    assert len(la) == len(lb)
+    for (kp, a), (_, b) in zip(la, lb):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=rtol, atol=atol,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(kp)}")
+
+
+@pytest.mark.parametrize("metric,feats,n_layers", [
+    ((1.0, 1.0, 1.0), (5, 6, 4), 2),
+    ((1.0, 1.0, 1.0), (4, 4, 4), 1),
+    ((1.0, 1.0), (7, 5, 3), 2),       # Cl(2), nb=4
+])
+def test_fused_matches_unfused(metric, feats, n_layers):
+    alg = get_algebra(metric)
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(23, feats[0], alg.n_blades), jnp.float32)
+    ref = CEMLP(alg, *feats, n_layers=n_layers, fused=False)
+    fused = CEMLP(alg, *feats, n_layers=n_layers, fused=True)
+    params = ref.init(jax.random.PRNGKey(0), x)
+    # non-trivial gate/normalization parameters
+    params = jax.tree.map(
+        lambda p: p + 0.05 * jnp.arange(p.size, dtype=p.dtype
+                                        ).reshape(p.shape) % 0.3, params)
+
+    out_ref = ref.apply(params, x)
+    out_f = fused.apply(params, x)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_ref),
+                               rtol=1e-4, atol=1e-5)
+
+    gr = jax.grad(lambda p, v: jnp.sum(ref.apply(p, v) ** 2),
+                  argnums=(0, 1))(params, x)
+    gf = jax.grad(lambda p, v: jnp.sum(fused.apply(p, v) ** 2),
+                  argnums=(0, 1))(params, x)
+    np.testing.assert_allclose(np.asarray(gf[1]), np.asarray(gr[1]),
+                               rtol=1e-4, atol=1e-5)
+    _grads_match(gr[0], gf[0])
+
+
+def test_fused_param_tree_identical():
+    alg = get_algebra((1.0, 1.0, 1.0))
+    x = jnp.zeros((3, 4, 8), jnp.float32)
+    a = CEMLP(alg, 4, 6, 5, fused=False).init(jax.random.PRNGKey(0), x)
+    b = CEMLP(alg, 4, 6, 5, fused=True).init(jax.random.PRNGKey(0), x)
+    sa = jax.tree_util.tree_structure(a)
+    sb = jax.tree_util.tree_structure(b)
+    assert sa == sb
+    for pa, pb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        assert pa.shape == pb.shape
+
+
+def test_fused_egcl_matches():
+    """EGCL with fused edge/node CEMLPs vs the composed path on a small
+    graph (mean aggregation, isolated node)."""
+    alg = get_algebra((1.0, 1.0, 1.0))
+    rng = np.random.RandomState(3)
+    n, c = 9, 4
+    h = jnp.asarray(rng.randn(n, c, 8), jnp.float32)
+    edges = np.array([[1, 0], [2, 0], [0, 1], [3, 1], [4, 2], [2, 3],
+                      [5, 4], [0, 5], [1, 5]], dtype=np.int64)
+    order = np.argsort(edges[:, 1], kind="stable")
+    ei = jnp.asarray(edges[order].T.astype(np.int32))
+
+    ref = EGCL(alg, c, 8, c, aggr="mean")
+    params = ref.init(jax.random.PRNGKey(0), h, ei)
+    out_ref = ref.apply(params, h, ei)
+    fused = EGCL(alg, c, 8, c, aggr="mean", fused_mlp=True)
+    out_f = fused.apply(params, h, ei)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_fused_supported_gating():
+    from csmpn_tpu.ops.cemlp_kernel import fused_supported
+
+    # CPU test environment: never auto-fused; Cl(5) never fused
+    assert not fused_supported(get_algebra((1.0, 1.0, 1.0)))
+    assert not fused_supported(get_algebra((1.0,) * 5))

@@ -197,3 +197,35 @@ class TestMultiStepDispatch:
         # picked up at the first group end past them
         val_steps = [s for s, v in calls if v]
         assert val_steps == [3, 11, 23], val_steps
+
+
+class TestGroupedEval:
+    def test_matches_per_batch_eval(self, dataset, model):
+        """eval_batches_per_dispatch>1 (scan-grouped validation) must
+        produce identical val metrics to the per-batch path, including a
+        trailing partial group (2 val batches of 4 samples, group size
+        3 -> one full group is impossible; use 2 groups of 1+1 vs k=2)."""
+        from csmpn_tpu.engineer.trainer import Trainer
+        from csmpn_tpu.engineer.loggers import ConsoleLogger
+
+        batch = next(iter(dataset.train_loader()))
+        params = model.init(jax.random.PRNGKey(11), batch)
+
+        def run_val(k):
+            tr = Trainer(max_steps=0, print_interval=100,
+                         logger=ConsoleLogger(dir=None),
+                         eval_batches_per_dispatch=k)
+            tr._build_steps(model, __import__(
+                "csmpn_tpu.engineer.optim", fromlist=["adam"]).adam(1e-3))
+            tr._test_metrics = tr._make_metrics(model)
+            return tr.test_loop(params, dataset.val_loader(),
+                                validation=False)
+
+        m1 = run_val(1)
+        m2 = run_val(2)   # 2 val batches -> exactly one full group
+        m3 = run_val(3)   # forces the trailing-partial fallback path
+        for key in m1:
+            if key.endswith("s_it"):   # wall-clock, not a metric
+                continue
+            np.testing.assert_allclose(m2[key], m1[key], rtol=1e-6)
+            np.testing.assert_allclose(m3[key], m1[key], rtol=1e-6)
