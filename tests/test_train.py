@@ -229,3 +229,29 @@ class TestGroupedEval:
                 continue
             np.testing.assert_allclose(m2[key], m1[key], rtol=1e-6)
             np.testing.assert_allclose(m3[key], m1[key], rtol=1e-6)
+
+
+class TestSlurmMaxTime:
+    def test_squeue_fallback(self, tmp_path, monkeypatch):
+        """With no explicit max_time and a SLURM job id, the Trainer reads
+        the limit from squeue (reference trainer.py:110-125, where the
+        fallback is dead code — here it works)."""
+        import datetime
+
+        from csmpn_tpu.engineer.trainer import _parse_max_time
+
+        fake = tmp_path / "squeue"
+        fake.write_text("#!/bin/sh\necho '1-02:30:00'\n")
+        fake.chmod(0o755)
+        monkeypatch.setenv("PATH", f"{tmp_path}:{os.environ['PATH']}")
+        monkeypatch.setenv("SLURM_JOB_ID", "4242")
+        assert _parse_max_time(None) == datetime.timedelta(
+            days=1, hours=2, minutes=30)
+        # explicit max_time wins over squeue
+        assert _parse_max_time("00:10:00") == datetime.timedelta(minutes=10)
+
+    def test_no_slurm_means_none(self, monkeypatch):
+        from csmpn_tpu.engineer.trainer import _parse_max_time
+
+        monkeypatch.delenv("SLURM_JOB_ID", raising=False)
+        assert _parse_max_time(None) is None
