@@ -61,8 +61,11 @@ def partition_edges(edge_index: np.ndarray, n_nodes: int,
         k = slab.shape[1]
         out[s, :k, 0] = slab[0]
         out[s, :k, 1] = slab[1]
-        # padded edges self-target the shard's first node, masked out
-        out[s, k:, 1] = s * nps
+        # padded edges self-target the shard's LAST node (masked out):
+        # targets must stay sorted within the slab — the sorted segment
+        # reduce windows ids with searchsorted, and a first-node pad after
+        # the real edges breaks that for the tail segments
+        out[s, k:, 1] = (s + 1) * nps - 1
         mask[s, :k] = True
     return EdgePartition(out.reshape(-1, 2), mask.reshape(-1), n_shards,
                          e_shard, nps)
@@ -264,6 +267,58 @@ def sharded_egcl_apply_halo(
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
         out_specs=P(axis))
     return fn(h, ei_arr, mask_arr, send_idx, send_mask)
+
+
+def streaming_egcl_apply(
+    egcl: EGCL,
+    params,
+    h: jnp.ndarray,                 # (N, C, nb) node features (global)
+    part: EdgePartition,
+    arrays=None,                    # optional (edge_index, edge_mask)
+    remat: bool = True,
+):
+    """One EGCL layer over a complex whose EDGE MESSAGES exceed device
+    memory, on a single device: ``lax.scan`` over the partition's
+    contiguous node/edge slabs, so peak HBM is the node features plus ONE
+    slab's messages instead of all E of them (>=10M-simplex workload:
+    80M edges x 128 lanes of f32 messages is 41 GB — 10x a v5e's HBM; a
+    64-chunk stream needs ~0.6 GB of transient).
+
+    Reuses the multi-device ``EdgePartition`` tables (shards = chunks).
+    ``remat=True`` wraps the chunk body in ``jax.checkpoint`` so the
+    backward pass also recomputes messages chunk-by-chunk instead of
+    storing them all."""
+    nps = part.nodes_per_shard
+    S, E2 = part.n_shards, part.e_shard
+    if arrays is not None:
+        ei_arr, mask_arr = arrays
+    else:
+        ei_arr = jnp.asarray(part.edge_index)
+        mask_arr = jnp.asarray(part.edge_mask)
+    ei3 = ei_arr.reshape(S, E2, 2)
+    mask2 = mask_arr.reshape(S, E2)
+
+    def chunk_fn(params, h, edges, m, s):
+        src = edges[:, 0]
+        dst = edges[:, 1]                      # global target ids
+        h_j = jnp.take(h, src, axis=0)
+        h_i = jnp.take(h, dst, axis=0)
+        msg = egcl.apply(params, h_i, h_j, None, method=EGCL.message)
+        local_dst = dst - s * nps
+        agg = egcl.apply(params, msg, local_dst, nps, m,
+                         method=EGCL.aggregate)
+        h_own = jax.lax.dynamic_slice_in_dim(h, s * nps, nps, axis=0)
+        return egcl.apply(params, h_own, agg, None, method=EGCL.update)
+
+    if remat:
+        chunk_fn = jax.checkpoint(chunk_fn)
+
+    def body(_, xs):
+        edges, m, s = xs
+        return 0, chunk_fn(params, h, edges, m, s)
+
+    _, outs = jax.lax.scan(body, 0, (ei3, mask2, jnp.arange(S)))
+    return outs.reshape(S * nps, *h.shape[1:])
 
 
 def make_synthetic_complex(n_nodes: int, avg_degree: int,
