@@ -24,6 +24,71 @@ import time
 import numpy as np
 
 
+def run_streaming(args):
+    """Single-device chunked run for complexes whose edge messages exceed
+    HBM (the >=10M-simplex workload at mesh=1): lax.scan over --stream
+    node/edge slabs, fwd (+bwd unless --fwd-only)."""
+    import jax
+    import jax.numpy as jnp
+
+    from csmpn_tpu.algebra import get_algebra
+    from csmpn_tpu.nn.egcl import EGCL
+    from csmpn_tpu.parallel.edge_partition import (
+        make_synthetic_complex,
+        partition_edges,
+        streaming_egcl_apply,
+    )
+
+    n_chunks = args.stream
+    n_nodes = (args.simplices // n_chunks) * n_chunks
+    alg = get_algebra((1.0, 1.0, 1.0))
+    print(f"# streaming: {n_nodes} simplices, ~{n_nodes * args.degree} "
+          f"edges, {n_chunks} chunks")
+    ei = make_synthetic_complex(n_nodes, args.degree, seed=0,
+                                locality=args.locality or None)
+    n_edges = ei.shape[1]
+    part = partition_edges(ei, n_nodes, n_chunks)
+    rng = np.random.RandomState(0)
+    h = jnp.asarray(rng.randn(n_nodes, args.hidden, 8).astype(np.float32))
+    egcl = EGCL(alg, args.hidden, args.hidden, args.hidden, aggr="mean")
+    params = egcl.init(jax.random.PRNGKey(0), h[:128],
+                       jnp.asarray(ei[:, :128] % 128))
+    ei_arr = jnp.asarray(part.edge_index)
+    mask_arr = jnp.asarray(part.edge_mask)
+
+    if args.fwd_only:
+        def run(p, h, ei_a, m_a):
+            out = streaming_egcl_apply(egcl, p, h, part,
+                                       arrays=(ei_a, m_a))
+            return out.ravel()[0]
+    else:
+        def loss(p, h, ei_a, m_a):
+            out = streaming_egcl_apply(egcl, p, h, part,
+                                       arrays=(ei_a, m_a))
+            return jnp.mean(out ** 2)
+
+        def run(p, h, ei_a, m_a):
+            g = jax.grad(loss)(p, h, ei_a, m_a)
+            return jax.tree.leaves(g)[0].ravel()[0]
+
+    fn = jax.jit(run)
+    _ = float(fn(params, h, ei_arr, mask_arr))  # compile + sync
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        s = fn(params, h, ei_arr, mask_arr)
+    _ = float(s)
+    dt = (time.perf_counter() - t0) / args.steps
+    print(json.dumps({
+        "metric": "streaming_edges_per_s",
+        "simplices": n_nodes,
+        "edges": n_edges,
+        "chunks": n_chunks,
+        "mode": "fwd" if args.fwd_only else "fwd+bwd",
+        "value": round(n_edges / dt, 1),
+        "unit": "edges/s",
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--simplices", type=int, default=1_000_000)
@@ -36,6 +101,11 @@ def main():
     ap.add_argument("--fwd-only", action="store_true")
     ap.add_argument("--exchange", choices=["halo", "allgather"],
                     default="halo")
+    ap.add_argument("--stream", type=int, default=0,
+                    help="chunked single-device mode: scan this many "
+                         "node/edge slabs (streaming_egcl_apply) instead "
+                         "of the mesh sweep — for complexes whose edge "
+                         "messages exceed HBM (>=10M simplices)")
     args = ap.parse_args()
 
     import os
@@ -59,8 +129,12 @@ def main():
         partition_edges_halo,
         sharded_egcl_apply,
         sharded_egcl_apply_halo,
+        streaming_egcl_apply,
     )
     from csmpn_tpu.parallel.mesh import make_mesh
+
+    if args.stream:
+        return run_streaming(args)
 
     n_devices = args.devices or len(jax.devices())
     n_nodes = (args.simplices // n_devices) * n_devices
