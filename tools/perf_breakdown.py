@@ -151,11 +151,15 @@ def main():
     report("edge CEMLP fwd (2 blocks)", t, 2 * E * D * 4,
            2 * 2 * E * C * (3 * C * nb + nb ** 3))
 
-    # ---- full EGCL fwd
+    # ---- full EGCL fwd (with the precomputed source-sort the production
+    # batch pipeline provides — without it the gather backward falls back
+    # to an on-device sort and the row overstates the real path)
     egcl = EGCL(alg, C, C, C, aggr="mean")
     ei = jnp.stack([src_j, dst_j])
+    order = np.argsort(src, kind="stable").astype(np.int32)
+    src_sort = (jnp.asarray(order), jnp.asarray(src[order].astype(np.int32)))
     pe = egcl.init(jax.random.PRNGKey(0), h, ei)
-    t = timed(lambda hh: egcl.apply(pe, hh, ei), h,
+    t = timed(lambda hh: egcl.apply(pe, hh, ei, src_sort=src_sort), h,
               args.steps, args.repeats)
     # traffic: 2 gathers + msg write/read + agg + node mlp (N rows)
     report("EGCL fwd", t, (5 * E + 4 * N) * D * 4,
@@ -164,7 +168,7 @@ def main():
     # ---- full EGCL train step (fwd+bwd)
     def step(hh):
         g = jax.grad(lambda p: jnp.mean(
-            egcl.apply(p, hh, ei) ** 2))(pe)
+            egcl.apply(p, hh, ei, src_sort=src_sort) ** 2))(pe)
         return hh + 0 * jax.tree.leaves(g)[0].sum()
 
     t = timed(step, h, args.steps, args.repeats)
