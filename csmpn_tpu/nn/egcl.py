@@ -67,6 +67,18 @@ class EGCL(nn.Module):
             fused=self.fused_mlp,
         )
 
+    def _use_fused_mp(self, batch_shape) -> bool:
+        """Fused gather->CEMLP->reduce kernel (ops/fused_egcl.py) on the
+        flat big-graph path: TPU fast mode, small-blade algebras.  The
+        stacked-small-graph path (batch_shape) keeps the batched one-hot
+        aggregation; forcing ``fused_mlp=False`` also disables it."""
+        if self.fused_mlp is False or not self.edges_sorted \
+                or batch_shape is not None:
+            return False
+        from ..ops.fused_egcl import fused_mp_supported
+
+        return fused_mp_supported(self.algebra, self.edge_model)
+
     def message(self, h_i: jnp.ndarray, h_j: jnp.ndarray,
                 edge_attr: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         """Per-edge message: edge CEMLP on (h_target - h_source ++ attr)."""
@@ -107,6 +119,17 @@ class EGCL(nn.Module):
     ) -> jnp.ndarray:
         num_nodes = h.shape[0]
         src, dst = edge_index[0], edge_index[1]
+        if self._use_fused_mp(batch_shape):
+            from ..ops.fused_egcl import fused_message_aggregate
+
+            if src_sort is not None:
+                h_j = take_rows_presorted(h, src, *src_sort)
+            else:
+                h_j = take_rows(h, src)
+            agg = fused_message_aggregate(
+                self.edge_model, h, h_j, edge_attr, dst,
+                edge_mask=edge_mask, mean=(self.aggr == "mean"))
+            return self.update(h, agg, node_attr)
         if self.edges_sorted:
             h_i = take_rows_sorted_idx(h, dst)   # targets (sorted ids)
         else:

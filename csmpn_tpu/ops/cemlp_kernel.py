@@ -257,10 +257,19 @@ def _forward_math(x, refs, nb, exact):
     The geometric product loops over the nb left-blade slices with STATIC
     lane slices of the packed Bcat/Kcat tables — no lane-splitting
     reshapes (Mosaic-unfriendly) are needed."""
-    (W1, b1, M, gb, Wr, sa, Kcat, WL, bL, aln, bc, ms, wm, G, H,
+    y = _dot(x, refs[0], exact) + refs[1]
+    return _post_linear_math(y, refs, nb, exact)
+
+
+def _post_linear_math(y, refs, nb, exact):
+    """Block math AFTER the input MVLinear (``y`` already computed).
+
+    Shared with the fused message-passing kernel (ops/fused_egcl.py),
+    where the input linear is applied to split (message, edge_attr)
+    operands; ``refs[0]``/``refs[1]`` (W1, b1) are unused here."""
+    (_W1, _b1, M, gb, Wr, sa, Kcat, WL, bL, aln, bc, ms, wm, G, H,
      Bcat) = refs
     Lp = Wr.shape[0]
-    y = _dot(x, W1, exact) + b1
     sq = y * y * bc
     v = jnp.where(ms != 0, y, sq)
     gate = _dot(v, M, exact) + gb
@@ -304,6 +313,63 @@ def _fwd_kernel(x_ref, W1_ref, b1_ref, M_ref, gb_ref, Wr_ref, sa_ref,
     out_ref[:] = _forward_math(x_ref[:], refs, nb, exact)["out"]
 
 
+def _post_linear_bwd(dout, f, refs, nb: int, exact: bool):
+    """Backward of ``_post_linear_math``: cotangent w.r.t. ``y`` plus the
+    per-tile (unaccumulated) table gradients
+    ``(dM, dgb, dWr, dsa, dKcat, dWL, dbL, daln)``.
+
+    Shared between the whole-block backward kernel below and the fused
+    message-passing backward (ops/fused_egcl.py)."""
+    (_W1, _b1, M, gb, Wr, sa, Kcat, WL, bL, aln, bc, ms, wm, G, H,
+     Bcat) = refs
+    Lp = Wr.shape[0]
+    y, v, s, z = f["y"], f["v"], f["s"], f["z"]
+    yr, qg, nr, den, yn = f["yr"], f["qg"], f["nr"], f["den"], f["yn"]
+    Z8, T8, o, qc, m = f["Z8"], f["T8"], f["o"], f["qc"], f["m"]
+    s1g, s1c, nc = f["s1g"], f["s1c"], f["nc"]
+
+    # ---- MVLayerNorm backward: out = aln * o / m
+    daln = jnp.sum(dout * o / m, axis=0, keepdims=True)
+    dm = -jnp.sum(dout * aln * o, axis=1, keepdims=True) / (m * m)
+    do = aln * dout / m
+    dnc = dm * wm
+    # d/dq (q^2+eps)^(1/4) = 0.5 q / ((q^2+eps)^(3/4)) = 0.5 q / (s1*nc)
+    dqc = dnc * 0.5 * qc / (s1c * nc)
+    do = do + _dot(dqc, H, exact) * 2.0 * bc * o          # H symmetric
+
+    dfg = do * SQRT2_INV                       # d(first) = d(gp)
+    # ---- first-order branch
+    dz = _dot_nt(dfg, WL, exact)
+    dWL = _dot_t(z, dfg, exact)
+    dbL = jnp.sum(dfg, axis=0, keepdims=True)
+    # ---- geometric product branch (wide matmuls over packed tables)
+    dZ8 = jnp.concatenate(
+        [dfg * T8[:, i * Lp:(i + 1) * Lp] for i in range(nb)], axis=1)
+    dT8 = jnp.concatenate(
+        [dfg * Z8[:, i * Lp:(i + 1) * Lp] for i in range(nb)], axis=1)
+    dz = dz + _dot_nt(dZ8, Bcat, exact)
+    dyn = _dot_nt(dT8, Kcat, exact)
+    dKcat = _dot_t(yn, dT8, exact)
+    # ---- normalization backward: yn = yr / den
+    dyr = dyn / den
+    dden = -dyn * yn / den
+    dsa = jnp.sum(dden * (nr - 1.0), axis=0, keepdims=True)
+    dnr = dden * sa
+    dqg = dnr * 0.5 * qg / (s1g * nr)
+    dyr = dyr + _dot(dqg, G, exact) * 2.0 * bc * yr       # G symmetric
+    # ---- right linear
+    dz = dz + _dot_nt(dyr, Wr, exact)
+    dWr = _dot_t(z, dyr, exact)
+    # ---- MVSiLU backward: z = sigmoid(v @ M + gb) * y
+    dy = dz * s
+    dgate = dz * y * s * (1.0 - s)
+    dgb = jnp.sum(dgate, axis=0, keepdims=True)
+    dv = _dot_nt(dgate, M, exact)
+    dM = _dot_t(v, dgate, exact)
+    dy = dy + jnp.where(ms != 0, dv, 2.0 * bc * y * dv)
+    return dy, (dM, dgb, dWr, dsa, dKcat, dWL, dbL, daln)
+
+
 def _bwd_kernel(x_ref, dout_ref, W1_ref, b1_ref, M_ref, gb_ref, Wr_ref,
                 sa_ref, Kcat_ref, WL_ref, bL_ref, aln_ref, bc_ref, ms_ref,
                 wm_ref, G_ref, H_ref, Bcat_ref,
@@ -327,58 +393,21 @@ def _bwd_kernel(x_ref, dout_ref, W1_ref, b1_ref, M_ref, gb_ref, Wr_ref,
 
     x = x_ref[:]
     dout = dout_ref[:]
-    bc, ms, wm = bc_ref[:], ms_ref[:], wm_ref[:]
-    sa, aln = sa_ref[:], aln_ref[:]
-    refs = (W1_ref[:], b1_ref[:], M_ref[:], gb_ref[:], Wr_ref[:], sa,
-            Kcat_ref[:], WL_ref[:], bL_ref[:], aln, bc, ms, wm, G_ref[:],
-            H_ref[:], Bcat_ref[:])
+    refs = (W1_ref[:], b1_ref[:], M_ref[:], gb_ref[:], Wr_ref[:],
+            sa_ref[:], Kcat_ref[:], WL_ref[:], bL_ref[:], aln_ref[:],
+            bc_ref[:], ms_ref[:], wm_ref[:], G_ref[:], H_ref[:],
+            Bcat_ref[:])
     f = _forward_math(x, refs, nb, exact)
-    Lp = Wr_ref.shape[0]
-    rows = x.shape[0]
-    y, v, s, z = f["y"], f["v"], f["s"], f["z"]
-    yr, qg, nr, den, yn = f["yr"], f["qg"], f["nr"], f["den"], f["yn"]
-    Z8, T8, o, qc, m = f["Z8"], f["T8"], f["o"], f["qc"], f["m"]
-    s1g, s1c, nc = f["s1g"], f["s1c"], f["nc"]
-
-    # ---- MVLayerNorm backward: out = aln * o / m
-    daln_ref[:] += jnp.sum(dout * o / m, axis=0, keepdims=True)
-    dm = -jnp.sum(dout * aln * o, axis=1, keepdims=True) / (m * m)
-    do = aln * dout / m
-    dnc = dm * wm
-    # d/dq (q^2+eps)^(1/4) = 0.5 q / ((q^2+eps)^(3/4)) = 0.5 q / (s1*nc)
-    dqc = dnc * 0.5 * qc / (s1c * nc)
-    do = do + _dot(dqc, H_ref[:], exact) * 2.0 * bc * o   # H symmetric
-
-    dfg = do * SQRT2_INV                       # d(first) = d(gp)
-    # ---- first-order branch
-    dz = _dot_nt(dfg, WL_ref[:], exact)
-    dWL_ref[:] += _dot_t(z, dfg, exact)
-    dbL_ref[:] += jnp.sum(dfg, axis=0, keepdims=True)
-    # ---- geometric product branch (wide matmuls over packed tables)
-    dZ8 = jnp.concatenate(
-        [dfg * T8[:, i * Lp:(i + 1) * Lp] for i in range(nb)], axis=1)
-    dT8 = jnp.concatenate(
-        [dfg * Z8[:, i * Lp:(i + 1) * Lp] for i in range(nb)], axis=1)
-    dz = dz + _dot_nt(dZ8, Bcat_ref[:], exact)
-    dyn = _dot_nt(dT8, Kcat_ref[:], exact)
-    dKcat_ref[:] += _dot_t(yn, dT8, exact)
-    # ---- normalization backward: yn = yr / den
-    dyr = dyn / den
-    dden = -dyn * yn / den
-    dsa_ref[:] += jnp.sum(dden * (nr - 1.0), axis=0, keepdims=True)
-    dnr = dden * sa
-    dqg = dnr * 0.5 * qg / (s1g * nr)
-    dyr = dyr + _dot(dqg, G_ref[:], exact) * 2.0 * bc * yr  # G symmetric
-    # ---- right linear
-    dz = dz + _dot_nt(dyr, Wr_ref[:], exact)
-    dWr_ref[:] += _dot_t(z, dyr, exact)
-    # ---- MVSiLU backward: z = sigmoid(v @ M + gb) * y
-    dy = dz * s
-    dgate = dz * y * s * (1.0 - s)
-    dgb_ref[:] += jnp.sum(dgate, axis=0, keepdims=True)
-    dv = _dot_nt(dgate, M_ref[:], exact)
-    dM_ref[:] += _dot_t(v, dgate, exact)
-    dy = dy + jnp.where(ms != 0, dv, 2.0 * bc * y * dv)
+    dy, (dM, dgb, dWr, dsa, dKcat, dWL, dbL, daln) = _post_linear_bwd(
+        dout, f, refs, nb, exact)
+    dM_ref[:] += dM
+    dgb_ref[:] += dgb
+    dWr_ref[:] += dWr
+    dsa_ref[:] += dsa
+    dKcat_ref[:] += dKcat
+    dWL_ref[:] += dWL
+    dbL_ref[:] += dbL
+    daln_ref[:] += daln
     # ---- input linear
     dx_ref[:] = _dot_nt(dy, W1_ref[:], exact)
     dW1_ref[:] += _dot_t(x, dy, exact)
