@@ -256,6 +256,11 @@ def _mp_forward(meta, consts, interpret, h, hj, attr, ids_oh, dst, bounds,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((N_p, Lp), jnp.float32),
         interpret=interpret,
+        # the resident tables (3x (Lp, 8*Lp) geometric-product gathers)
+        # plus per-chunk intermediates exceed the 16 MiB default scoped-
+        # vmem budget by ~2 MiB; v5e has 128 MiB of VMEM per core
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
     )(bounds, *operands)
 
 
