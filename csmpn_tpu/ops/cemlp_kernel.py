@@ -452,6 +452,16 @@ def _tile_rows(Lp: int, bwd: bool = False) -> int:
     return 256 if Lp <= 256 else 128
 
 
+def _vmem_params(operands_bytes: int, intermediates_bytes: int):
+    """CompilerParams with a vmem limit derived from the ACTUAL resident
+    footprint instead of a hard-coded constant (advisor r2): pipeline
+    operands are double-buffered by the pallas pipeline (x2), kernel
+    intermediates are not.  Clamped to the v5e envelope (128 MiB/core)."""
+    limit = 2 * operands_bytes + intermediates_bytes + (8 << 20)
+    limit = max(32 << 20, min(120 << 20, int(limit)))
+    return pltpu.CompilerParams(vmem_limit_bytes=limit)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
 def _fused_block(meta, const, interpret, x, *tables):
     return _fused_block_fwd(meta, const, interpret, x, *tables)[0]
@@ -479,11 +489,14 @@ def _pallas_fwd(meta, const, interpret, x, tables):
         out_specs=pl.BlockSpec((TE, Lp), lambda t: (t, 0),
                                memory_space=pltpu.VMEM),
     )
+    ops_bytes = sum(o.size * 4 for o in ops) + (TE * Lin_p + TE * Lp) * 4
+    inter_bytes = (2 * TE * nb * Lp + 14 * TE * Lp) * 4
     out = pl.pallas_call(
         partial(_fwd_kernel, nb=nb, exact=exact),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((rows_p, Lp), jnp.float32),
         interpret=interpret,
+        compiler_params=_vmem_params(ops_bytes, inter_bytes),
     )(x, *ops)
     return out[:rows]
 
@@ -541,11 +554,16 @@ def _fused_block_bwd(meta, const, interpret, res, dout):
         ] + _param_specs(Lin_p, Lp, nb),
         out_specs=tuple(out_specs),
     )
+    ops_bytes = (sum(o.size * 4 for o in ops)
+                 + sum(int(np.prod(s.shape)) * 4 for s in out_shapes)
+                 + (2 * TE * Lin_p + TE * Lp) * 4)
+    inter_bytes = (4 * TE * nb * Lp + 25 * TE * Lp) * 4
     outs = pl.pallas_call(
         partial(_bwd_kernel, nb=nb, exact=exact),
         grid_spec=grid_spec,
         out_shape=tuple(out_shapes),
         interpret=interpret,
+        compiler_params=_vmem_params(ops_bytes, inter_bytes),
     )(x, dout, *ops)
     dx = outs[0][:rows]
     dW1, db1, dM, dgb, dWr, dsa, dKcat, dWL, dbL, daln = outs[1:]

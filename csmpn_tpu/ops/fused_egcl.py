@@ -50,6 +50,7 @@ from .cemlp_kernel import (
     _post_linear_math,
     _round_up,
     _structural_tables,
+    _vmem_params,
     block_tables,
 )
 
@@ -258,9 +259,19 @@ def _mp_forward(meta, consts, interpret, h, hj, attr, ids_oh, dst, bounds,
         interpret=interpret,
         # the resident tables (3x (Lp, 8*Lp) geometric-product gathers)
         # plus per-chunk intermediates exceed the 16 MiB default scoped-
-        # vmem budget by ~2 MiB; v5e has 128 MiB of VMEM per core
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+        # vmem budget; derive the limit from the actual footprint so a
+        # larger hidden width scales it instead of failing compile
+        # (advisor r2); v5e has 128 MiB of VMEM per core
+        compiler_params=_vmem_params(
+            # VMEM-tiled operands: the node window + all lane tables
+            # (the streamed ids/hj/attr live in HBM, DMA'd into scratch)
+            sum(int(np.prod(o.shape)) * 4
+                for o in ops1 + opsa + ops2 + opsc)
+            + (wn * Ln_p + wn * Lp) * 4,
+            # explicit scratch + per-chunk intermediates
+            2 * te * 4
+            + 2 * te * (Ln_p + La_p) * jnp.dtype(stream_dt).itemsize
+            + (2 * te * nb * Lp + 14 * te * Lp + wn * te) * 4),
     )(bounds, *operands)
 
 

@@ -8,6 +8,8 @@ the EGCL-level integration (dispatch forced on via monkeypatch).
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute: mesh/train/CLI integration tier
+
 import jax
 import jax.numpy as jnp
 

@@ -3,6 +3,8 @@ data-parallel equivalence and edge-partitioned aggregation equivalence."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute: mesh/train/CLI integration tier
+
 import jax
 import jax.numpy as jnp
 

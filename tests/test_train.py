@@ -6,6 +6,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute: mesh/train/CLI integration tier
+
 import jax
 
 from csmpn_tpu.data.hulls import ConvexHullDataset
