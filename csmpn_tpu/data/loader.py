@@ -118,10 +118,23 @@ class Loader:
         self.shard = shard
         self._epoch = 0
 
+    def _shard_len(self) -> int:
+        # DistributedSampler semantics: every rank gets EXACTLY
+        # ceil(n / world) samples (short ranks wrap around), so all
+        # processes run the same number of steps and cross-process
+        # collectives (metric allgather, gradient psum) never mismatch.
+        n = len(self.dataset)
+        _, world = self.shard
+        return -(-n // world)
+
     def _indices(self) -> np.ndarray:
         idx = np.arange(len(self.dataset))
         if self.shard is not None:
             rank, world = self.shard
+            per = self._shard_len()
+            total = per * world
+            if total > idx.size:
+                idx = np.concatenate([idx, idx[:total - idx.size]])
             idx = idx[rank::world]
         if self.shuffle:
             if self.seed is not None:
@@ -134,8 +147,7 @@ class Loader:
     def __len__(self) -> int:
         n = len(self.dataset)
         if self.shard is not None:
-            rank, world = self.shard
-            n = len(range(rank, n, world))
+            n = self._shard_len()
         if self.drop_last:
             return n // self.batch_size
         return -(-n // self.batch_size)

@@ -191,6 +191,32 @@ class Trainer:
 
         return shard_batch(batch, self.mesh)
 
+    @staticmethod
+    def _fetch_outputs(outputs):
+        """``device_get`` that also works on multi-process global arrays:
+        each process fetches ITS addressable shards of batch-sharded
+        outputs (per-sample losses etc.) and updates its local metric
+        collection; the cross-process gather happens once at metric
+        COMPUTE time (metrics._gather — reference metrics.py:37-71)."""
+        if jax.process_count() == 1:
+            return jax.device_get(outputs)
+
+        def get(x):
+            if not isinstance(x, jax.Array) or x.is_fully_addressable:
+                return np.asarray(jax.device_get(x))
+            seen = {}
+            for s in x.addressable_shards:
+                key = tuple((sl.start or 0, sl.stop) for sl in s.index)
+                seen[key] = np.asarray(s.data)
+            keys = sorted(seen)
+            if len(keys) == 1:        # replicated leaf
+                return seen[keys[0]]
+            ax = next(i for i in range(len(keys[0]))
+                      if any(k[i] != keys[0][i] for k in keys))
+            return np.concatenate([seen[k] for k in keys], axis=ax)
+
+        return jax.tree.map(get, outputs)
+
     def _build_steps(self, model, optimizer):
         def train_step(params, opt_state, batch, step):
             def loss_fn(p):
@@ -261,7 +287,7 @@ class Trainer:
                     break
                 batch = self._shard_batch(batch)
                 _, outputs = self._eval_step_fn(params, batch, batch_idx)
-                metrics.update(**jax.device_get(outputs))
+                metrics.update(**self._fetch_outputs(outputs))
                 if batch_idx % self.print_interval == 0:
                     print(f"Step: {self.global_step} ({label}) "
                           f"Batch: {batch_idx} / {num_iterations}")
@@ -288,13 +314,10 @@ class Trainer:
         def flush_group(group):
             stacked = jax.tree.map(lambda *xs: np.stack(xs), *group)
             if self.mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
+                from ..parallel.mesh import shard_stacked
 
-                sharding = NamedSharding(self.mesh, P(None, "data"))
-                stacked = jax.tree.map(
-                    lambda x: jax.device_put(np.asarray(x), sharding),
-                    stacked)
-            outputs = jax.device_get(
+                stacked = shard_stacked(stacked, self.mesh)
+            outputs = self._fetch_outputs(
                 self._multi_eval_fn(params, stacked,
                                     batch_idx - len(group)))
             for i in range(len(group)):
@@ -314,7 +337,7 @@ class Trainer:
             batch = self._shard_batch(batch)
             _, outputs = self._eval_step_fn(params, batch,
                                             batch_idx - len(pending) + i)
-            metrics.update(**jax.device_get(outputs))
+            metrics.update(**self._fetch_outputs(outputs))
 
     def _maybe_profile(self):
         if self.profile_dir is None:
@@ -340,16 +363,14 @@ class Trainer:
         k = len(batches)
         stacked = jax.tree.map(lambda *xs: _np.stack(xs), *batches)
         if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..parallel.mesh import shard_stacked
 
-            sharding = NamedSharding(self.mesh, P(None, "data"))
-            stacked = jax.tree.map(
-                lambda x: jax.device_put(_np.asarray(x), sharding), stacked)
+            stacked = shard_stacked(stacked, self.mesh)
         params, opt_state = self._state
         params, opt_state, losses, outputs = self._multi_step_fn(
             params, opt_state, stacked, self.global_step)
         self._state = (params, opt_state)
-        outputs = jax.device_get(outputs)
+        outputs = self._fetch_outputs(outputs)
         losses = _np.asarray(jax.device_get(losses))
         for i in range(k):
             self._train_metrics.update(
@@ -370,7 +391,7 @@ class Trainer:
         params, opt_state, loss, outputs = self._train_step_fn(
             params, opt_state, batch, self.global_step)
         self._state = (params, opt_state)
-        outputs = jax.device_get(outputs)
+        outputs = self._fetch_outputs(outputs)
         self._train_metrics.update(**outputs)
         loss_val = float(jax.device_get(loss))
         if np.isnan(loss_val):
@@ -384,6 +405,14 @@ class Trainer:
         """model: flax Module; params: initialized variables; optimizer:
         optax GradientTransformation."""
         opt_state = optimizer.init(params)
+        if self.mesh is not None:
+            # replicate model/optimizer state over the mesh explicitly —
+            # required under multi-process (every host holds the same
+            # same-seed arrays; declared replicated so the jitted step
+            # sees ONE global array per leaf, DDP-style)
+            from ..parallel.mesh import replicate
+
+            params, opt_state = replicate((params, opt_state), self.mesh)
         self._state = (params, opt_state)
         self._build_steps(model, optimizer)
         self._train_metrics = self._make_metrics(model)

@@ -36,9 +36,16 @@ def run_task(config: Dict) -> None:
     model_kwargs.update(model_cfg)
     model = model_cls(spec=dataset.spec, **model_kwargs)
 
-    train_loader = dataset.train_loader()
-    val_loader = dataset.val_loader()
-    test_loader = dataset.test_loader()
+    # multi-host data parallelism: each process loads only ITS shard of
+    # every split (the DistributedSampler equivalent — reference
+    # md17.py:141-172) and the mesh below spans all processes' devices, so
+    # Trainer.shard_batch assembles global arrays and XLA's gradient psum
+    # rides ICI/DCN.  jax.distributed is bootstrapped by engineer.fire.
+    world = jax.process_count()
+    shard = (jax.process_index(), world) if world > 1 else None
+    train_loader = dataset.train_loader(shard=shard)
+    val_loader = dataset.val_loader(shard=shard)
+    test_loader = dataset.test_loader(shard=shard)
 
     batch = next(iter(train_loader))
     params = model.init(config["prng_key"], batch)
@@ -59,7 +66,11 @@ def run_task(config: Dict) -> None:
     for k in ("module", "scheduler", "logger", "mesh"):
         trainer_cfg.pop(k, None)
     mesh = None
-    if config.get("data_parallel") and jax.device_count() > 1:
+    # DP turns on when requested OR whenever the run is multi-process
+    # (the reference wraps DDP unconditionally under a distributed launch,
+    # md17.py:15-23)
+    if ((config.get("data_parallel") or world > 1)
+            and jax.device_count() > 1):
         mesh = make_mesh()
     trainer = Trainer(
         scheduler=schedule,

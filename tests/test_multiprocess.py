@@ -15,6 +15,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute: mesh/train/CLI integration tier
+
 _WORKER = r"""
 import os, sys
 os.environ["JAX_PLATFORMS"] = "cpu"
@@ -43,6 +45,58 @@ print(f"RANK{{rank}}-OK", flush=True)
 """
 
 
+_TRAIN_WORKER = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("XLA_FLAGS", None)          # one device per process
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, {repo!r})
+import importlib
+fire = importlib.import_module("csmpn_tpu.engineer.fire")
+
+assert fire.use_distributed(), "bootstrap env not detected"
+dist = fire._dist_setup()
+rank = dist["rank"]
+assert jax.process_count() == 2 and jax.device_count() == 2
+
+import numpy as np
+from csmpn_tpu.data.hulls import ConvexHullDataset
+from csmpn_tpu.engineer.optim import adam
+from csmpn_tpu.engineer.trainer import Trainer
+from csmpn_tpu.models.hulls import HullsModel
+from csmpn_tpu.parallel.mesh import make_mesh
+
+# per-process DATAROOT: generation is seed-deterministic, so both ranks
+# materialize identical splits without racing on one cache file
+os.environ["DATAROOT"] = {dataroot!r} + f"/r{{rank}}"
+ds = ConvexHullDataset(num_samples=8, num_val_samples=4, batch_size=2)
+
+# each process loads only ITS dataset shard (DistributedSampler equiv.)
+shard = (jax.process_index(), jax.process_count())
+train_loader = ds.train_loader(seed=0, shard=shard)
+assert len(train_loader) == 2, len(train_loader)  # 8 samples -> 4/rank
+
+model = HullsModel(spec=ds.spec, hidden_features=4, num_layers=1)
+batch = next(iter(train_loader))
+params = model.init(jax.random.PRNGKey(0), batch)
+optimizer = adam(lr=1e-3)
+
+trainer = Trainer(max_steps=2, val_check_interval=10**6,
+                  log_interval=10**6, print_interval=1,
+                  mesh=make_mesh(), donate=False)
+params = trainer.fit(model, params, optimizer, train_loader)
+
+# replicated params: every process must hold bit-identical values
+leaves = jax.tree.leaves(jax.device_get(params))
+checksum = float(sum(np.float64(np.abs(l)).sum() for l in leaves))
+assert np.isfinite(checksum)
+print(f"PARAMS {{checksum:.12e}}", flush=True)
+print(f"RANK{{rank}}-OK", flush=True)
+"""
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("localhost", 0))
@@ -51,7 +105,7 @@ def _free_port() -> int:
     return port
 
 
-def _launch(env_fn, repo):
+def _launch(env_fn, repo, worker=None):
     port = _free_port()
     procs = []
     for rank in range(2):
@@ -59,7 +113,7 @@ def _launch(env_fn, repo):
                if not k.startswith(("SLURM", "JAX_"))}
         env.update(env_fn(rank, port))
         procs.append(subprocess.Popen(
-            [sys.executable, "-c", _WORKER.format(repo=repo)],
+            [sys.executable, "-c", worker or _WORKER.format(repo=repo)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
             text=True))
     outs = []
@@ -95,3 +149,30 @@ def test_two_process_gather(style):
     for rank, (rc, out) in enumerate(outs):
         assert rc == 0, f"rank {rank} failed:\n{out}"
         assert f"RANK{rank}-OK" in out, out
+
+
+def test_two_process_hulls_train_step(tmp_path):
+    """End-to-end multi-host DP (VERDICT r2 next-round #5): two processes,
+    sharded loaders, mesh-sharded batches assembled with
+    ``make_array_from_process_local_data``, replicated params, XLA gradient
+    all-reduce — after 2 Trainer steps both processes hold bit-identical
+    parameters (reference semantics: DDP wrap + DistributedSampler,
+    csmpn/md17.py:15-23,141-172)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def env_fn(rank, port):
+        return {
+            "JAX_COORDINATOR_ADDRESS": f"localhost:{port}",
+            "JAX_NUM_PROCESSES": "2",
+            "JAX_PROCESS_ID": str(rank),
+        }
+
+    worker = _TRAIN_WORKER.format(repo=repo, dataroot=str(tmp_path))
+    outs = _launch(env_fn, repo, worker=worker)
+    sums = []
+    for rank, (rc, out) in enumerate(outs):
+        assert rc == 0, f"rank {rank} failed:\n{out}"
+        assert f"RANK{rank}-OK" in out, out
+        sums.append([ln for ln in out.splitlines()
+                     if ln.startswith("PARAMS ")][0])
+    assert sums[0] == sums[1], f"params diverged across processes: {sums}"
