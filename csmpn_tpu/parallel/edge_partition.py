@@ -39,6 +39,20 @@ class EdgePartition:
     n_shards: int
     e_shard: int
     nodes_per_shard: int
+    # slab slot -> ORIGINAL edge id (-1 for padding); lets per-edge payloads
+    # (edge_attr) follow their edges into slab order (permute_edge_payload)
+    edge_perm: Optional[np.ndarray] = None
+
+
+def permute_edge_payload(part, payload: np.ndarray) -> np.ndarray:
+    """Reorder a per-edge payload (e.g. edge_attr, original edge order)
+    into the partition's padded slab layout; padded slots are zero."""
+    payload = np.asarray(payload)
+    perm = part.edge_perm
+    out = np.zeros((perm.shape[0],) + payload.shape[1:], payload.dtype)
+    valid = perm >= 0
+    out[valid] = payload[perm[valid]]
+    return out
 
 
 def partition_edges(edge_index: np.ndarray, n_nodes: int,
@@ -52,11 +66,13 @@ def partition_edges(edge_index: np.ndarray, n_nodes: int,
     ei = ei[:, order]
     owner = ei[1] // nps
     slabs = [ei[:, owner == s] for s in range(n_shards)]
+    perms = [order[owner == s] for s in range(n_shards)]
     e_shard = max(s.shape[1] for s in slabs)
     # round up for alignment
     e_shard = int(-(-e_shard // 8) * 8)
     out = np.zeros((n_shards, e_shard, 2), dtype=np.int32)
     mask = np.zeros((n_shards, e_shard), dtype=bool)
+    perm = np.full((n_shards, e_shard), -1, dtype=np.int64)
     for s, slab in enumerate(slabs):
         k = slab.shape[1]
         out[s, :k, 0] = slab[0]
@@ -67,8 +83,9 @@ def partition_edges(edge_index: np.ndarray, n_nodes: int,
         # the real edges breaks that for the tail segments
         out[s, k:, 1] = (s + 1) * nps - 1
         mask[s, :k] = True
+        perm[s, :k] = perms[s]
     return EdgePartition(out.reshape(-1, 2), mask.reshape(-1), n_shards,
-                         e_shard, nps)
+                         e_shard, nps, perm.reshape(-1))
 
 
 def sharded_egcl_apply(
@@ -152,6 +169,8 @@ class HaloPartition:
     e_shard: int
     h_max: int
     nodes_per_shard: int
+    # slab slot -> ORIGINAL edge id (-1 padding); see permute_edge_payload
+    edge_perm: Optional[np.ndarray] = None
 
 
 def partition_edges_halo(edge_index: np.ndarray, n_nodes: int,
@@ -166,6 +185,7 @@ def partition_edges_halo(edge_index: np.ndarray, n_nodes: int,
     ei = ei[:, order]
     owner = ei[1] // nps
     slabs = [ei[:, owner == s] for s in range(n_shards)]
+    perms = [order[owner == s] for s in range(n_shards)]
     e_shard = int(-(-max(s.shape[1] for s in slabs) // 8) * 8)
 
     # per (owner o -> consumer s): sorted unique remote node ids
@@ -194,6 +214,7 @@ def partition_edges_halo(edge_index: np.ndarray, n_nodes: int,
 
     out = np.zeros((n_shards, e_shard, 2), dtype=np.int32)
     mask = np.zeros((n_shards, e_shard), dtype=bool)
+    perm = np.full((n_shards, e_shard), -1, dtype=np.int64)
     for s, slab in enumerate(slabs):
         k = slab.shape[1]
         lo = s * nps
@@ -207,8 +228,10 @@ def partition_edges_halo(edge_index: np.ndarray, n_nodes: int,
         out[s, :k, 1] = slab[1] - lo          # local target ids
         out[s, k:, 1] = nps - 1               # padded: last local node
         mask[s, :k] = True
+        perm[s, :k] = perms[s]
     return HaloPartition(out.reshape(-1, 2), mask.reshape(-1), send_idx,
-                         send_mask, n_shards, e_shard, h_max, nps)
+                         send_mask, n_shards, e_shard, h_max, nps,
+                         perm.reshape(-1))
 
 
 def sharded_egcl_apply_halo(
@@ -218,18 +241,30 @@ def sharded_egcl_apply_halo(
     part: HaloPartition,
     mesh: Mesh,
     axis: str = "data",
+    node_attr: Optional[jnp.ndarray] = None,  # (N, C_n, nb)
+    edge_attr: Optional[jnp.ndarray] = None,  # (n_shards*e_shard, Ce, nb)
     arrays=None,   # optional (edge_index, edge_mask, send_idx, send_mask)
 ):
     """One EGCL layer with halo exchange: ship only the boundary-simplex
     features each shard actually reads (all_to_all over ICI), overlapping
     naturally with the local gather/MLP work XLA schedules around it.
 
+    ``node_attr`` partitions like ``h`` (node rows); ``edge_attr`` must be
+    in the partition's padded slab order — use ``permute_edge_payload``
+    (attrs are NOT optional in the reference EGCL, cegnn_utils.py:254-275,
+    so conditioned task models run edge-partitioned through here too).
+
     ``arrays``: see sharded_egcl_apply — pass the partition tables as jit
     arguments under an outer jax.jit."""
     nps = part.nodes_per_shard
+    has_na = node_attr is not None
+    has_ea = edge_attr is not None
 
     def shard_fn(h_local, edges_local, mask_local, send_idx_local,
-                 send_mask_local):
+                 send_mask_local, *rest):
+        it = iter(rest)
+        na_local = next(it) if has_na else None
+        ea_local = next(it) if has_ea else None
         # (1) build this shard's send buffer: rows for every destination
         sidx = send_idx_local[0]                       # (n_shards, H)
         smask = send_mask_local[0]
@@ -246,10 +281,11 @@ def sharded_egcl_apply_halo(
         dst = edges_local[:, 1]
         h_j = jnp.take(h_ext, src, axis=0)
         h_i = jnp.take(h_local, dst, axis=0)
-        msg = egcl.apply(params, h_i, h_j, None, method=EGCL.message)
+        msg = egcl.apply(params, h_i, h_j, ea_local, method=EGCL.message)
         agg = egcl.apply(params, msg, dst, nps, mask_local,
                          method=EGCL.aggregate)
-        return egcl.apply(params, h_local, agg, None, method=EGCL.update)
+        return egcl.apply(params, h_local, agg, na_local,
+                          method=EGCL.update)
 
     from jax import shard_map as _shard_map
 
@@ -262,11 +298,17 @@ def sharded_egcl_apply_halo(
         mask_arr = jnp.asarray(part.edge_mask)
         send_idx = jnp.asarray(part.send_idx)
         send_mask = jnp.asarray(part.send_mask)
-    fn = _shard_map(
-        shard_fn, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
-        out_specs=P(axis))
-    return fn(h, ei_arr, mask_arr, send_idx, send_mask)
+    args = [h, ei_arr, mask_arr, send_idx, send_mask]
+    specs = [P(axis)] * 5
+    if has_na:
+        args.append(node_attr)
+        specs.append(P(axis))
+    if has_ea:
+        args.append(edge_attr)
+        specs.append(P(axis))
+    fn = _shard_map(shard_fn, mesh=mesh, in_specs=tuple(specs),
+                    out_specs=P(axis))
+    return fn(*args)
 
 
 def streaming_egcl_apply(
@@ -276,6 +318,8 @@ def streaming_egcl_apply(
     part: EdgePartition,
     arrays=None,                    # optional (edge_index, edge_mask)
     remat: bool = True,
+    node_attr: Optional[jnp.ndarray] = None,  # (N, C_n, nb)
+    edge_attr: Optional[jnp.ndarray] = None,  # slab order (S*e_shard,...)
 ):
     """One EGCL layer over a complex whose EDGE MESSAGES exceed device
     memory, on a single device: ``lax.scan`` over the partition's
@@ -297,27 +341,38 @@ def streaming_egcl_apply(
         mask_arr = jnp.asarray(part.edge_mask)
     ei3 = ei_arr.reshape(S, E2, 2)
     mask2 = mask_arr.reshape(S, E2)
+    has_ea = edge_attr is not None
+    ea3 = (edge_attr.reshape(S, E2, *edge_attr.shape[1:])
+           if has_ea else None)
 
-    def chunk_fn(params, h, edges, m, s):
+    def chunk_fn(params, h, node_attr, edges, m, ea, s):
         src = edges[:, 0]
         dst = edges[:, 1]                      # global target ids
         h_j = jnp.take(h, src, axis=0)
         h_i = jnp.take(h, dst, axis=0)
-        msg = egcl.apply(params, h_i, h_j, None, method=EGCL.message)
+        msg = egcl.apply(params, h_i, h_j, ea, method=EGCL.message)
         local_dst = dst - s * nps
         agg = egcl.apply(params, msg, local_dst, nps, m,
                          method=EGCL.aggregate)
         h_own = jax.lax.dynamic_slice_in_dim(h, s * nps, nps, axis=0)
-        return egcl.apply(params, h_own, agg, None, method=EGCL.update)
+        na_own = (jax.lax.dynamic_slice_in_dim(node_attr, s * nps, nps,
+                                               axis=0)
+                  if node_attr is not None else None)
+        return egcl.apply(params, h_own, agg, na_own, method=EGCL.update)
 
     if remat:
-        chunk_fn = jax.checkpoint(chunk_fn)
+        chunk_fn = jax.checkpoint(chunk_fn, static_argnums=())
 
     def body(_, xs):
-        edges, m, s = xs
-        return 0, chunk_fn(params, h, edges, m, s)
+        if has_ea:
+            edges, m, ea, s = xs
+        else:
+            (edges, m, s), ea = xs, None
+        return 0, chunk_fn(params, h, node_attr, edges, m, ea, s)
 
-    _, outs = jax.lax.scan(body, 0, (ei3, mask2, jnp.arange(S)))
+    xs = (ei3, mask2, ea3, jnp.arange(S)) if has_ea \
+        else (ei3, mask2, jnp.arange(S))
+    _, outs = jax.lax.scan(body, 0, xs)
     return outs.reshape(S * nps, *h.shape[1:])
 
 

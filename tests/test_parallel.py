@@ -229,3 +229,98 @@ class TestStreamingEGCL:
         for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_str)):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        rtol=5e-4, atol=1e-5)
+
+
+class TestPartitionedAttrs:
+    """Conditioned task models edge-partitioned (VERDICT r2 next-round #6):
+    edge_attr/node_attr threaded through the halo and streaming variants
+    must reproduce the monolithic conditioned EGCL (in the reference,
+    attrs are not optional — cegnn_utils.py:254-275)."""
+
+    def _setup(self, n_nodes, deg, seed):
+        from csmpn_tpu.parallel.edge_partition import make_synthetic_complex
+
+        ei = make_synthetic_complex(n_nodes, deg, seed=seed)
+        rng = np.random.RandomState(seed)
+        h = jnp.asarray(rng.randn(n_nodes, 3, 8), jnp.float32)
+        ea = jnp.asarray(rng.randn(ei.shape[1], 2, 8), jnp.float32)
+        na = jnp.asarray(rng.randn(n_nodes, 1, 8), jnp.float32)
+        egcl = EGCL(ALG, 3, 4, 3, edge_attr_features=2,
+                    node_attr_features=1, aggr="mean")
+        params = egcl.init(jax.random.PRNGKey(seed), h, jnp.asarray(ei),
+                           ea, na)
+        ref = egcl.apply(params, h, jnp.asarray(ei), ea, na)
+        return ei, h, ea, na, egcl, params, ref
+
+    def test_halo_with_attrs_matches(self, mesh):
+        from csmpn_tpu.parallel.edge_partition import (
+            partition_edges_halo,
+            permute_edge_payload,
+            sharded_egcl_apply_halo,
+        )
+
+        n_nodes = 16
+        ei, h, ea, na, egcl, params, ref = self._setup(n_nodes, 4, 21)
+        part = partition_edges_halo(ei, n_nodes, 4)
+        ea_slab = jnp.asarray(permute_edge_payload(part, ea))
+        out = sharded_egcl_apply_halo(egcl, params, h, part, mesh,
+                                      node_attr=na, edge_attr=ea_slab)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_halo_with_attrs_grad_matches(self, mesh):
+        from csmpn_tpu.parallel.edge_partition import (
+            partition_edges_halo,
+            permute_edge_payload,
+            sharded_egcl_apply_halo,
+        )
+
+        n_nodes = 8
+        ei, h, ea, na, egcl, params, ref = self._setup(n_nodes, 3, 22)
+        part = partition_edges_halo(ei, n_nodes, 4)
+        ea_slab = jnp.asarray(permute_edge_payload(part, ea))
+        g_ref = jax.grad(lambda p: jnp.mean(
+            egcl.apply(p, h, jnp.asarray(ei), ea, na) ** 2))(params)
+        g_halo = jax.grad(lambda p: jnp.mean(
+            sharded_egcl_apply_halo(egcl, p, h, part, mesh, node_attr=na,
+                                    edge_attr=ea_slab) ** 2))(params)
+        for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_halo)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=5e-4, atol=1e-5)
+
+    def test_streaming_with_attrs_matches(self):
+        from csmpn_tpu.parallel.edge_partition import (
+            partition_edges,
+            permute_edge_payload,
+            streaming_egcl_apply,
+        )
+
+        n_nodes = 24
+        ei, h, ea, na, egcl, params, ref = self._setup(n_nodes, 4, 23)
+        part = partition_edges(ei, n_nodes, 6)
+        ea_slab = jnp.asarray(permute_edge_payload(part, ea))
+        for remat in (True, False):
+            out = streaming_egcl_apply(egcl, params, h, part, remat=remat,
+                                       node_attr=na, edge_attr=ea_slab)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=2e-4, atol=2e-5)
+
+    def test_streaming_with_attrs_grad_matches(self):
+        from csmpn_tpu.parallel.edge_partition import (
+            partition_edges,
+            permute_edge_payload,
+            streaming_egcl_apply,
+        )
+
+        n_nodes = 12
+        ei, h, ea, na, egcl, params, ref = self._setup(n_nodes, 3, 24)
+        part = partition_edges(ei, n_nodes, 4)
+        ea_slab = jnp.asarray(permute_edge_payload(part, ea))
+        g_ref = jax.grad(lambda p: jnp.mean(
+            egcl.apply(p, h, jnp.asarray(ei), ea, na) ** 2))(params)
+        g_str = jax.grad(lambda p: jnp.mean(
+            streaming_egcl_apply(egcl, p, h, part, node_attr=na,
+                                 edge_attr=ea_slab) ** 2))(params)
+        for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_str)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=5e-4, atol=1e-5)
