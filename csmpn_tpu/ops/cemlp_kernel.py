@@ -27,9 +27,16 @@ with ``K_i[(n,k),(n,j)] = (cayley * w)[n,i,j,k]`` and the broadcast
 ``z[(n,i)] -> all j`` expressed as the structural one-hot ``z @ B_i`` —
 both are lane-aligned MXU matmuls.
 
-Supported: any algebra with few blades (Cl(2)/Cl(3): nb <= 8); larger
-algebras (hulls' Cl(5), nb=32) keep the unfused XLA path — their table
-footprint (nb * L^2) would not fit VMEM.
+Geometric-product forms:
+  * nb <= 8 (Cl(2)/Cl(3)): dense packed Kcat/Bcat lane tables — two wide
+    MXU matmuls per block;
+  * 8 < nb <= 32 (Cl(4)/Cl(5), the hulls flagship): PAIR FORM — a basis
+    blade product has exactly one output blade (e_A e_B = s e_{A^B}), so
+    the weighted Cayley collapses to a per-(channel, blade-pair) weight
+    lane vector Wp plus three SHARED structural tables (Rz/Ry pair
+    expanders and the signed block-diagonal S4), processed per 128-lane
+    channel group.  Table footprint ~6 MB vs the ~100 MB a dense Kcat
+    would need at Cl(5) hidden 28 (VERDICT r2 next-step #4).
 """
 from __future__ import annotations
 
@@ -53,14 +60,32 @@ def _round_up(x: int, m: int) -> int:
 
 
 def fused_supported(algebra) -> bool:
-    """Fused path is used automatically on TPU for small-blade algebras in
-    the "fast" (bf16-matmul) aggregation mode.  In "exact" mode the
-    composed XLA path is kept: 6-pass HIGHEST dots make the fused kernel
-    compute-bound and slower, and exact mode exists for bit-closeness."""
+    """Fused path is used automatically on TPU in the "fast" (bf16-matmul)
+    aggregation mode.  In "exact" mode the composed XLA path is kept:
+    6-pass HIGHEST dots make the fused kernel compute-bound and slower,
+    and exact mode exists for bit-closeness.
+
+    Small-blade algebras (Cl(2)/Cl(3), nb <= 8) use the dense packed
+    Kcat/Bcat geometric product; larger ones up to nb = 32 (hulls'
+    Cl(5,0) — reference hulls_cssmpnn.py:28) use the pair-form tables
+    (one output blade per basis-blade pair), whose footprint is ~100 KB
+    of weights + ~6 MB of shared structural tables instead of the
+    ~100 MB a dense Kcat would need (VERDICT r2 #4)."""
     from .segment import aggregation_exact
 
-    return (jax.default_backend() == "tpu" and algebra.n_blades <= 8
+    return (jax.default_backend() == "tpu" and algebra.n_blades <= 32
             and not aggregation_exact())
+
+
+def _pair_form(nb: int) -> bool:
+    """nb > 8: geometric product via shared signed pair tables."""
+    return nb > 8
+
+
+def _n_consts(nb: int) -> int:
+    """Structural-table count: (bc, ms, wm, G, H, Bcat) for the dense
+    form; (bc, ms, wm, G, H, S4, Rz, Ry) for the pair form."""
+    return 8 if _pair_form(nb) else 6
 
 
 # ===================================================================
@@ -90,6 +115,43 @@ def _structural_tables(dim: int, metric: tuple, C: int, Lp: int):
         s = n * nb
         G[s:s + nb, s:s + nb] = Gs
         H[s:s + nb, s:s + nb] = 1.0
+
+    if _pair_form(nb):
+        # Pair form (nb > 8; Cl(4)/Cl(5)): the product of two basis
+        # blades has exactly ONE output blade (e_A e_B = s * e_{A^B}),
+        # so the geometric product is
+        #   gp[c, j] = sum_{(i,k)} S0[(i,k), j] * Wp[c, (i,k)]
+        #              * z[c, i] * yn[c, k]
+        # with SHARED structural tables (channel-independent):
+        #   Rz (gs*nb, gs*nb^2): expands z to pair lanes (c,i,k) <- (c,i)
+        #   Ry (gs*nb, gs*nb^2): expands yn to pair lanes (c,i,k) <- (c,k)
+        #   S4 (gs*nb^2, gs*nb): block-diag signed pair table
+        # where gs = 128 // nb channels per 128-lane group.  Total table
+        # footprint ~ 3 * 128 * gs*nb^2 * 4 B, vs nb * Lp^2 for a dense
+        # Kcat (~100 MB at Cl(5) hidden 28 — would not fit VMEM).
+        gs = 128 // nb
+        cay = np.asarray(alg.cayley, np.float32)         # (nb, nb, nb)
+        j_of = np.abs(cay).argmax(axis=1)                # [i, k] -> j
+        s_of = np.take_along_axis(
+            cay, j_of[:, None, :], axis=1)[:, 0, :]      # [i, k] sign
+        S0 = np.zeros((nb * nb, nb), np.float32)
+        ii, kk = np.meshgrid(np.arange(nb), np.arange(nb), indexing="ij")
+        S0[ii.ravel() * nb + kk.ravel(), j_of.ravel()] = s_of.ravel()
+        P = gs * nb * nb
+        S4 = np.zeros((P, gs * nb), np.float32)
+        Rz = np.zeros((gs * nb, P), np.float32)
+        Ry = np.zeros((gs * nb, P), np.float32)
+        for c in range(gs):
+            S4[c * nb * nb:(c + 1) * nb * nb, c * nb:(c + 1) * nb] = S0
+            for i in range(nb):
+                Rz[c * nb + i, c * nb * nb + i * nb:
+                   c * nb * nb + (i + 1) * nb] = 1.0
+            # Ry[(c,k), (c,i,k)] = 1 for all i
+            for k in range(nb):
+                Ry[c * nb + k,
+                   c * nb * nb + k:(c + 1) * nb * nb:nb] = 1.0
+        return bc, ms, wm, G, H, S4, Rz, Ry
+
     # Bcat: (Lp, nb*Lp); column block i holds B_i with
     # B_i[(n,i),(n,j)] = 1  (broadcast lane i of each channel to all j)
     Bcat = np.zeros((Lp, nb * Lp), np.float32)
@@ -152,9 +214,31 @@ def _norm_vec(alg, a_norm, C: int, Lp: int) -> jnp.ndarray:
 
 
 def _gp_tables(alg, sgp, C: int, Lp: int) -> jnp.ndarray:
-    """Weighted Cayley -> Kcat (Lp, nb*Lp):
-    column block i holds K_i[(n,k),(n,j)] = CW[n,i,j,k]."""
+    """Parameter-dependent geometric-product table.
+
+    Dense form (nb <= 8): weighted Cayley -> Kcat (Lp, nb*Lp); column
+    block i holds K_i[(n,k),(n,j)] = CW[n,i,j,k].
+
+    Pair form (nb > 8): the grade-path weight per (channel, blade pair)
+    -> Wp (1, (Lp/128) * gs * nb^2) laid out (group, channel-in-group,
+    i, k); the Cayley sign lives in the shared S4 table."""
     nb = alg.n_blades
+    if _pair_form(nb):
+        g = np.asarray(alg.blade_to_grade)
+        cay = np.asarray(alg.cayley)
+        j_of = np.abs(cay).argmax(axis=1)               # (nb, nb) [i,k]->j
+        paths = alg.geometric_product_paths             # (d+1,)*3 bool
+        idx = np.argwhere(paths)
+        cube = jnp.zeros((C, alg.dim + 1, alg.dim + 1, alg.dim + 1),
+                         dtype=sgp.weight.dtype)
+        cube = cube.at[:, idx[:, 0], idx[:, 1], idx[:, 2]].set(sgp.weight)
+        ii, kk = np.meshgrid(np.arange(nb), np.arange(nb), indexing="ij")
+        Wp = cube[:, g[ii], g[j_of], g[kk]]             # (C, nb, nb)
+        n_groups = Lp // 128
+        gs = 128 // nb
+        Wp = Wp.reshape(C, nb * nb)
+        Wp = jnp.pad(Wp, ((0, n_groups * gs - C), (0, 0)))
+        return Wp.reshape(1, n_groups * gs * nb * nb)
     CW = sgp.weighted_cayley()                          # (C, nb, nb, nb)
     CWt = jnp.transpose(CW, (1, 0, 3, 2))               # (i, C, k, j)
     eye = jnp.eye(C, dtype=CW.dtype)
@@ -225,9 +309,21 @@ def _block_flat_xla(x, tables, const, nb: int):
 # Pallas kernels
 # ===================================================================
 
+def _cast_pair(a, b, exact: bool):
+    """Fast mode feeds the MXU ONE bf16 pass (f32 accumulate).  f32
+    operands at Precision.DEFAULT run at the f32 MXU rate inside Mosaic
+    (~4x slower) — measured in RESULTS.md r2: the fused kernel sat at
+    ~100% of the f32-equivalent rate.  The bf16 input rounding is the
+    same error class as the fast-mode stream rounding."""
+    if exact:
+        return a, b
+    return a.astype(jnp.bfloat16), b.astype(jnp.bfloat16)
+
+
 def _dot(a, b, exact: bool):
     prec = (jax.lax.Precision.HIGHEST if exact
             else jax.lax.Precision.DEFAULT)
+    a, b = _cast_pair(a, b, exact)
     return jnp.dot(a, b, preferred_element_type=jnp.float32,
                    precision=prec)
 
@@ -236,6 +332,7 @@ def _dot_t(a, b, exact: bool):
     """a^T @ b with rows contracted: (R, P), (R, Q) -> (P, Q)."""
     prec = (jax.lax.Precision.HIGHEST if exact
             else jax.lax.Precision.DEFAULT)
+    a, b = _cast_pair(a, b, exact)
     return jax.lax.dot_general(
         a, b, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec)
@@ -246,6 +343,7 @@ def _dot_nt(a, b, exact: bool):
     (R, Q), (P, Q) -> (R, P)."""
     prec = (jax.lax.Precision.HIGHEST if exact
             else jax.lax.Precision.DEFAULT)
+    a, b = _cast_pair(a, b, exact)
     return jax.lax.dot_general(
         a, b, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec)
@@ -261,14 +359,34 @@ def _forward_math(x, refs, nb, exact):
     return _post_linear_math(y, refs, nb, exact)
 
 
+def _gp_pair_fwd(z, yn, Wp, S4, Rz, Ry, exact):
+    """Pair-form geometric product over 128-lane channel groups:
+    gp_g = ((z_g @ Rz) * (yn_g @ Ry) * Wp_g) @ S4."""
+    Lp = z.shape[1]
+    P = S4.shape[0]
+    parts = []
+    for gi in range(Lp // 128):
+        zg = z[:, gi * 128:(gi + 1) * 128]
+        yg = yn[:, gi * 128:(gi + 1) * 128]
+        Zp = _dot(zg, Rz, exact)
+        Yp = _dot(yg, Ry, exact)
+        Pw = Zp * Yp * Wp[:, gi * P:(gi + 1) * P]
+        parts.append(_dot(Pw, S4, exact))
+    return jnp.concatenate(parts, axis=1)
+
+
 def _post_linear_math(y, refs, nb, exact):
     """Block math AFTER the input MVLinear (``y`` already computed).
 
-    Shared with the fused message-passing kernel (ops/fused_egcl.py),
+    Shared with the fused message-passing kernels (ops/fused_egcl.py),
     where the input linear is applied to split (message, edge_attr)
-    operands; ``refs[0]``/``refs[1]`` (W1, b1) are unused here."""
-    (_W1, _b1, M, gb, Wr, sa, Kcat, WL, bL, aln, bc, ms, wm, G, H,
-     Bcat) = refs
+    operands; ``refs[0]``/``refs[1]`` (W1, b1) are unused here.
+
+    Geometric product: dense packed Kcat/Bcat matmuls for nb <= 8; the
+    shared pair-form tables for larger algebras (refs carries
+    (..., Wp, ..., S4, Rz, Ry) in the Kcat/Bcat/extra slots then)."""
+    (_W1, _b1, M, gb, Wr, sa, Kcat, WL, bL, aln, bc, ms, wm, G,
+     H) = refs[:15]
     Lp = Wr.shape[0]
     sq = y * y * bc
     v = jnp.where(ms != 0, y, sq)
@@ -283,14 +401,20 @@ def _post_linear_math(y, refs, nb, exact):
     nr = jnp.sqrt(s1g)
     den = sa * (nr - 1.0) + 1.0 + EPS
     yn = yr / den
-    # single wide matmuls for the broadcast/contraction tables; the per-
-    # left-blade pieces are STATIC lane slices of the results
-    Z8 = _dot(z, Bcat, exact)                     # (rows, nb*Lp)
-    T8 = _dot(yn, Kcat, exact)
-    gp = jnp.zeros_like(yr)
-    for i in range(nb):
-        sl = slice(i * Lp, (i + 1) * Lp)
-        gp = gp + Z8[:, sl] * T8[:, sl]
+    Z8 = T8 = None
+    if _pair_form(nb):
+        S4, Rz, Ry = refs[15], refs[16], refs[17]
+        gp = _gp_pair_fwd(z, yn, Kcat, S4, Rz, Ry, exact)
+    else:
+        Bcat = refs[15]
+        # single wide matmuls for the broadcast/contraction tables; the
+        # per-left-blade pieces are STATIC lane slices of the results
+        Z8 = _dot(z, Bcat, exact)                 # (rows, nb*Lp)
+        T8 = _dot(yn, Kcat, exact)
+        gp = jnp.zeros_like(yr)
+        for i in range(nb):
+            sl = slice(i * Lp, (i + 1) * Lp)
+            gp = gp + Z8[:, sl] * T8[:, sl]
     first = _dot(z, WL, exact) + bL
     o = (first + gp) * SQRT2_INV
     qc = _dot(o * o * bc, H, exact)
@@ -303,13 +427,11 @@ def _post_linear_math(y, refs, nb, exact):
                 s1c=s1c, nc=nc, m=m, out=out)
 
 
-def _fwd_kernel(x_ref, W1_ref, b1_ref, M_ref, gb_ref, Wr_ref, sa_ref,
-                Kcat_ref, WL_ref, bL_ref, aln_ref, bc_ref, ms_ref, wm_ref,
-                G_ref, H_ref, Bcat_ref, out_ref, *, nb: int, exact: bool):
-    refs = (W1_ref[:], b1_ref[:], M_ref[:], gb_ref[:], Wr_ref[:],
-            sa_ref[:], Kcat_ref[:], WL_ref[:], bL_ref[:], aln_ref[:],
-            bc_ref[:], ms_ref[:], wm_ref[:], G_ref[:], H_ref[:],
-            Bcat_ref[:])
+def _fwd_kernel(*args, nb: int, exact: bool):
+    n_refs = 10 + _n_consts(nb)
+    x_ref = args[0]
+    refs = tuple(r[:] for r in args[1:1 + n_refs])
+    out_ref = args[1 + n_refs]
     out_ref[:] = _forward_math(x_ref[:], refs, nb, exact)["out"]
 
 
@@ -320,8 +442,8 @@ def _post_linear_bwd(dout, f, refs, nb: int, exact: bool):
 
     Shared between the whole-block backward kernel below and the fused
     message-passing backward (ops/fused_egcl.py)."""
-    (_W1, _b1, M, gb, Wr, sa, Kcat, WL, bL, aln, bc, ms, wm, G, H,
-     Bcat) = refs
+    (_W1, _b1, M, gb, Wr, sa, Kcat, WL, bL, aln, bc, ms, wm, G,
+     H) = refs[:15]
     Lp = Wr.shape[0]
     y, v, s, z = f["y"], f["v"], f["s"], f["z"]
     yr, qg, nr, den, yn = f["yr"], f["qg"], f["nr"], f["den"], f["yn"]
@@ -342,14 +464,38 @@ def _post_linear_bwd(dout, f, refs, nb: int, exact: bool):
     dz = _dot_nt(dfg, WL, exact)
     dWL = _dot_t(z, dfg, exact)
     dbL = jnp.sum(dfg, axis=0, keepdims=True)
-    # ---- geometric product branch (wide matmuls over packed tables)
-    dZ8 = jnp.concatenate(
-        [dfg * T8[:, i * Lp:(i + 1) * Lp] for i in range(nb)], axis=1)
-    dT8 = jnp.concatenate(
-        [dfg * Z8[:, i * Lp:(i + 1) * Lp] for i in range(nb)], axis=1)
-    dz = dz + _dot_nt(dZ8, Bcat, exact)
-    dyn = _dot_nt(dT8, Kcat, exact)
-    dKcat = _dot_t(yn, dT8, exact)
+    if _pair_form(nb):
+        # ---- pair-form GP backward (recomputes the pair expansions —
+        # they are cheap shared-table matmuls, so nothing pair-specific
+        # is carried in the residual dict)
+        S4, Rz, Ry = refs[15], refs[16], refs[17]
+        Wp = Kcat
+        P = S4.shape[0]
+        dz_parts, dyn_parts, dWp_parts = [], [], []
+        for gi in range(Lp // 128):
+            sl = slice(gi * 128, (gi + 1) * 128)
+            zg, yg = z[:, sl], yn[:, sl]
+            Zp = _dot(zg, Rz, exact)
+            Yp = _dot(yg, Ry, exact)
+            Wpg = Wp[:, gi * P:(gi + 1) * P]
+            dPw = _dot_nt(dfg[:, sl], S4, exact)
+            dWp_parts.append(jnp.sum(Zp * Yp * dPw, axis=0,
+                                     keepdims=True))
+            dz_parts.append(_dot_nt(dPw * Yp * Wpg, Rz, exact))
+            dyn_parts.append(_dot_nt(dPw * Zp * Wpg, Ry, exact))
+        dz = dz + jnp.concatenate(dz_parts, axis=1)
+        dyn = jnp.concatenate(dyn_parts, axis=1)
+        dKcat = jnp.concatenate(dWp_parts, axis=1)      # dWp, Wp-shaped
+    else:
+        # ---- geometric product branch (wide matmuls, packed tables)
+        Bcat = refs[15]
+        dZ8 = jnp.concatenate(
+            [dfg * T8[:, i * Lp:(i + 1) * Lp] for i in range(nb)], axis=1)
+        dT8 = jnp.concatenate(
+            [dfg * Z8[:, i * Lp:(i + 1) * Lp] for i in range(nb)], axis=1)
+        dz = dz + _dot_nt(dZ8, Bcat, exact)
+        dyn = _dot_nt(dT8, Kcat, exact)
+        dKcat = _dot_t(yn, dT8, exact)
     # ---- normalization backward: yn = yr / den
     dyr = dyn / den
     dden = -dyn * yn / den
@@ -370,78 +516,53 @@ def _post_linear_bwd(dout, f, refs, nb: int, exact: bool):
     return dy, (dM, dgb, dWr, dsa, dKcat, dWL, dbL, daln)
 
 
-def _bwd_kernel(x_ref, dout_ref, W1_ref, b1_ref, M_ref, gb_ref, Wr_ref,
-                sa_ref, Kcat_ref, WL_ref, bL_ref, aln_ref, bc_ref, ms_ref,
-                wm_ref, G_ref, H_ref, Bcat_ref,
-                dx_ref, dW1_ref, db1_ref, dM_ref, dgb_ref, dWr_ref,
-                dsa_ref, dKcat_ref, dWL_ref, dbL_ref, daln_ref,
-                *, nb: int, exact: bool):
+def _bwd_kernel(*args, nb: int, exact: bool):
+    n_refs = 10 + _n_consts(nb)
+    x_ref, dout_ref = args[0], args[1]
+    refs = tuple(r[:] for r in args[2:2 + n_refs])
+    dx_ref = args[2 + n_refs]
+    grefs = args[3 + n_refs:3 + n_refs + 10]
+    # grefs order: dW1, db1, dM, dgb, dWr, dsa, dKcat, dWL, dbL, daln
     t = pl.program_id(0)
 
     @pl.when(t == 0)
     def _():
-        dW1_ref[:] = jnp.zeros_like(dW1_ref)
-        db1_ref[:] = jnp.zeros_like(db1_ref)
-        dM_ref[:] = jnp.zeros_like(dM_ref)
-        dgb_ref[:] = jnp.zeros_like(dgb_ref)
-        dWr_ref[:] = jnp.zeros_like(dWr_ref)
-        dsa_ref[:] = jnp.zeros_like(dsa_ref)
-        dKcat_ref[:] = jnp.zeros_like(dKcat_ref)
-        dWL_ref[:] = jnp.zeros_like(dWL_ref)
-        dbL_ref[:] = jnp.zeros_like(dbL_ref)
-        daln_ref[:] = jnp.zeros_like(daln_ref)
+        for r in grefs:
+            r[:] = jnp.zeros_like(r)
 
     x = x_ref[:]
     dout = dout_ref[:]
-    refs = (W1_ref[:], b1_ref[:], M_ref[:], gb_ref[:], Wr_ref[:],
-            sa_ref[:], Kcat_ref[:], WL_ref[:], bL_ref[:], aln_ref[:],
-            bc_ref[:], ms_ref[:], wm_ref[:], G_ref[:], H_ref[:],
-            Bcat_ref[:])
     f = _forward_math(x, refs, nb, exact)
-    dy, (dM, dgb, dWr, dsa, dKcat, dWL, dbL, daln) = _post_linear_bwd(
-        dout, f, refs, nb, exact)
-    dM_ref[:] += dM
-    dgb_ref[:] += dgb
-    dWr_ref[:] += dWr
-    dsa_ref[:] += dsa
-    dKcat_ref[:] += dKcat
-    dWL_ref[:] += dWL
-    dbL_ref[:] += dbL
-    daln_ref[:] += daln
+    dy, tg = _post_linear_bwd(dout, f, refs, nb, exact)
+    for r, v in zip(grefs[2:], tg):
+        r[:] += v
     # ---- input linear
-    dx_ref[:] = _dot_nt(dy, W1_ref[:], exact)
-    dW1_ref[:] += _dot_t(x, dy, exact)
-    db1_ref[:] += jnp.sum(dy, axis=0, keepdims=True)
+    dx_ref[:] = _dot_nt(dy, refs[0], exact)
+    grefs[0][:] += _dot_t(x, dy, exact)
+    grefs[1][:] += jnp.sum(dy, axis=0, keepdims=True)
 
 
 # ===================================================================
 # custom-VJP wrapper
 # ===================================================================
 
-def _param_specs(Lin_p, Lp, nb):
-    """BlockSpecs for the table operands (whole array, every grid step)."""
-    shapes = [
-        (Lin_p, Lp),        # W1
-        (1, Lp),            # b1
-        (Lp, Lp),           # M
-        (1, Lp),            # gb
-        (Lp, Lp),           # Wr
-        (1, Lp),            # sa
-        (Lp, nb * Lp),      # Kcat
-        (Lp, Lp),           # WL
-        (1, Lp),            # bL
-        (1, Lp),            # aln
-        (1, Lp),            # bc
-        (1, Lp),            # ms
-        (1, Lp),            # wm
-        (Lp, Lp),           # G
-        (Lp, Lp),           # H
-        (Lp, nb * Lp),      # Bcat
-    ]
+def _param_specs(ops):
+    """BlockSpecs for the table operands (whole array, every grid step).
+    Derived from the actual operand shapes — the dense and pair GP forms
+    carry different table sets."""
     # NOTE: bind ndim via default arg — a bare closure over the loop
     # variable would late-bind to the last shape
-    return [pl.BlockSpec(s, (lambda t, n=len(s): (0,) * n),
-                         memory_space=pltpu.VMEM) for s in shapes]
+    return [pl.BlockSpec(o.shape, (lambda t, n=len(o.shape): (0,) * n),
+                         memory_space=pltpu.VMEM) for o in ops]
+
+
+def _gp_inter_bytes(TE: int, nb: int, Lp: int, mult: int) -> int:
+    """VMEM estimate of the live GP intermediates: (TE, nb*Lp) wide
+    products for the dense form; per-group (TE, 128*nb) pair expansions
+    (a few live at once) for the pair form."""
+    if _pair_form(nb):
+        return mult * 2 * TE * 128 * nb * 4
+    return mult * TE * nb * Lp * 4
 
 
 def _tile_rows(Lp: int, bwd: bool = False) -> int:
@@ -485,12 +606,12 @@ def _pallas_fwd(meta, const, interpret, x, tables):
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec((TE, Lin_p), lambda t: (t, 0),
                                memory_space=pltpu.VMEM)]
-        + _param_specs(Lin_p, Lp, nb),
+        + _param_specs(ops),
         out_specs=pl.BlockSpec((TE, Lp), lambda t: (t, 0),
                                memory_space=pltpu.VMEM),
     )
     ops_bytes = sum(o.size * 4 for o in ops) + (TE * Lin_p + TE * Lp) * 4
-    inter_bytes = (2 * TE * nb * Lp + 14 * TE * Lp) * 4
+    inter_bytes = _gp_inter_bytes(TE, nb, Lp, 2) + 14 * TE * Lp * 4
     out = pl.pallas_call(
         partial(_fwd_kernel, nb=nb, exact=exact),
         grid_spec=grid_spec,
@@ -522,19 +643,11 @@ def _fused_block_bwd(meta, const, interpret, res, dout):
     ops = [t.reshape(1, -1) if t.ndim == 1 else t for t in tables]
     ops += [c.reshape(1, -1) if c.ndim == 1 else c for c in consts]
 
-    out_shapes = [
-        jax.ShapeDtypeStruct((rows_p, Lin_p), jnp.float32),   # dx
-        jax.ShapeDtypeStruct((Lin_p, Lp), jnp.float32),       # dW1
-        jax.ShapeDtypeStruct((1, Lp), jnp.float32),           # db1
-        jax.ShapeDtypeStruct((Lp, Lp), jnp.float32),          # dM
-        jax.ShapeDtypeStruct((1, Lp), jnp.float32),           # dgb
-        jax.ShapeDtypeStruct((Lp, Lp), jnp.float32),          # dWr
-        jax.ShapeDtypeStruct((1, Lp), jnp.float32),           # dsa
-        jax.ShapeDtypeStruct((Lp, nb * Lp), jnp.float32),     # dKcat
-        jax.ShapeDtypeStruct((Lp, Lp), jnp.float32),          # dWL
-        jax.ShapeDtypeStruct((1, Lp), jnp.float32),           # dbL
-        jax.ShapeDtypeStruct((1, Lp), jnp.float32),           # daln
-    ]
+    # grads take the (2-D-ified) shapes of the 10 parameter tables —
+    # shared between the dense (Kcat) and pair (Wp) GP forms
+    out_shapes = [jax.ShapeDtypeStruct((rows_p, Lin_p), jnp.float32)]
+    out_shapes += [jax.ShapeDtypeStruct(o.shape, jnp.float32)
+                   for o in ops[:10]]
     # dx is tiled; the table grads revisit the same (whole-array) block
     # every grid step and accumulate (zeroed at t == 0)
     out_specs = [pl.BlockSpec((TE, Lin_p), lambda t: (t, 0),
@@ -551,13 +664,13 @@ def _fused_block_bwd(meta, const, interpret, res, dout):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TE, Lp), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),
-        ] + _param_specs(Lin_p, Lp, nb),
+        ] + _param_specs(ops),
         out_specs=tuple(out_specs),
     )
     ops_bytes = (sum(o.size * 4 for o in ops)
                  + sum(int(np.prod(s.shape)) * 4 for s in out_shapes)
                  + (2 * TE * Lin_p + TE * Lp) * 4)
-    inter_bytes = (4 * TE * nb * Lp + 25 * TE * Lp) * 4
+    inter_bytes = _gp_inter_bytes(TE, nb, Lp, 4) + 25 * TE * Lp * 4
     outs = pl.pallas_call(
         partial(_bwd_kernel, nb=nb, exact=exact),
         grid_spec=grid_spec,

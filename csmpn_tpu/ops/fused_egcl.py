@@ -24,11 +24,20 @@ whole edge-side forward in one pass:
   * the segment sum accumulates into the VMEM output block via the
     one-hot matmul — per-edge messages are NEVER materialized in HBM.
 
-Backward is recompute-based and reuses the existing whole-block kernels:
-rebuild the block-1 input stream (one XLA gather + concat), re-run block 1
-forward, then the two recompute-in-tile block backward kernels; the
-target-side cotangent is reduced with the sorted-segment-sum kernel.  No
-new backward kernel is required.
+Backward is a SECOND single-pass kernel (``_make_bwd_kernel``): per node
+block it re-streams the same edge chunks, recomputes both CEMLP blocks
+in-tile, backpropagates through them, reduces the target-side cotangent
+into the resident node block with the one-hot matmul, accumulates every
+table gradient across the grid, and streams the per-edge cotangents
+(dhj, dattr) back to HBM with read-modify-write on chunk-alignment
+overlaps.  This replaces the r2 recompute composition (gather + block-1
+forward + two block-backward kernels + sorted segment sum), which cost
+~5 E-row kernel dispatches and ~1.6 GB of HBM intermediates per layer at
+the bench shape.
+
+Algebra support: Cl(2)/Cl(3) via the dense packed tables; Cl(4)/Cl(5)
+via the shared pair-form tables (see ops/cemlp_kernel.py) — the hulls
+flagship (Cl(5,0), reference hulls_cssmpnn.py:28) runs fused too.
 """
 from __future__ import annotations
 
@@ -44,9 +53,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .cemlp_kernel import (
     _dot,
+    _gp_inter_bytes,
+    _n_consts,
+    _dot_nt,
     _forward_math,  # noqa: F401  (re-exported for tests)
-    _fused_block_bwd,
-    _pallas_fwd,
+    _fused_block_bwd,  # noqa: F401  (re-exported for tests)
+    _pallas_fwd,  # noqa: F401  (re-exported for tests)
+    _post_linear_bwd,
     _post_linear_math,
     _round_up,
     _structural_tables,
@@ -56,8 +69,11 @@ from .cemlp_kernel import (
 
 
 def _dot_t(a, b, exact: bool):
+    from .cemlp_kernel import _cast_pair
+
     prec = (jax.lax.Precision.HIGHEST if exact
             else jax.lax.Precision.DEFAULT)
+    a, b = _cast_pair(a, b, exact)
     return jax.lax.dot_general(
         a, b, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec)
@@ -85,7 +101,8 @@ def _make_fwd_kernel(nb: int, exact: bool, wn: int, te: int,
         if has_attr:
             w1a_ref = args[i]; i += 1
         t2 = args[i:i + n_t]; i += n_t
-        consts = args[i:i + 6]; i += 6
+        nc = _n_consts(nb)
+        consts = args[i:i + nc]; i += nc
         out_ref = args[i]; i += 1
         ids_s = args[i]; i += 1
         hj_s = args[i]; i += 1
@@ -153,11 +170,17 @@ def _make_fwd_kernel(nb: int, exact: bool, wn: int, te: int,
             # block's id window (chunk-alignment overlap, masked edges,
             # stream padding) match nothing and are dropped exactly
             oh = jnp.where(ids - base == rows, 1.0, 0.0)  # (wn, te) f32
-            # exact f32 target gather: one nonzero per edge column
+            # target gather: one nonzero per edge column.  Exact mode
+            # keeps a bit-exact f32 selection; fast mode rounds the
+            # node window to bf16 (one MXU pass) — the same rounding
+            # class the hj stream already carries.
+            gather_dt = jnp.float32 if exact else jnp.bfloat16
             h_i = jax.lax.dot_general(
-                oh, window, (((0,), (0,)), ((), ())),
+                oh.astype(gather_dt), window.astype(gather_dt),
+                (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)    # (te, Ln_p)
+                precision=(jax.lax.Precision.HIGHEST if exact
+                           else jax.lax.Precision.DEFAULT))  # (te, Ln_p)
             msg = h_i - hj_s[slot].astype(jnp.float32)
             y1 = _dot(msg, W1h, exact) + b1
             if has_attr:
@@ -271,7 +294,8 @@ def _mp_forward(meta, consts, interpret, h, hj, attr, ids_oh, dst, bounds,
             # explicit scratch + per-chunk intermediates
             2 * te * 4
             + 2 * te * (Ln_p + La_p) * jnp.dtype(stream_dt).itemsize
-            + (2 * te * nb * Lp + 14 * te * Lp + wn * te) * 4),
+            + _gp_inter_bytes(te, nb, Lp, 2)
+            + (14 * te * Lp + wn * te) * 4),
     )(bounds, *operands)
 
 
@@ -290,55 +314,372 @@ def _fused_mp_fwd(meta, consts, interpret, h, hj, attr, ids_oh, dst,
                   bounds, *tables):
     out = _mp_forward(meta, consts, interpret, h, hj, attr, ids_oh, dst,
                       bounds, tables)
-    return out, (h, hj, attr, ids_oh, dst, tables)
+    return out, (h, hj, attr, ids_oh, bounds, tables)
+
+
+# -------------------------------------------------------------------
+# combined backward kernel: ONE pass over the edge streams that
+# recomputes both CEMLP blocks in-tile, backpropagates through them,
+# reduces the target-side cotangent into the resident node block, and
+# streams the per-edge cotangents (dhj, dattr) back to HBM.  Replaces
+# the r2 recompute path (gather + block-1 fwd + 2 block-bwd kernels +
+# sorted segment sum = ~5 E-row kernel dispatches and ~1.6 GB of HBM
+# intermediates at the bench shape).
+#
+# Chunk-alignment overlap (a te-chunk shared by adjacent node blocks)
+# is handled with read-modify-write: each block PURE-writes all its
+# chunks except the first, which it reads back and accumulates into
+# whenever the block's edge range starts mid-chunk (rows outside the
+# block's id window carry exactly-zero cotangents — the one-hot window
+# match zeroes dagg_e and every downstream term is linear in it — so
+# summing per-block contributions reconstructs every row exactly; grid
+# steps execute sequentially on the core and each write DMA is waited
+# before the next chunk, so the read-back always sees completed data).
+# -------------------------------------------------------------------
+
+def _make_bwd_kernel(nb: int, exact: bool, wn: int, te: int,
+                     has_attr: bool):
+    n_t = 10
+
+    def kernel(*args):
+        i = 0
+        bounds_ref = args[i]; i += 1
+        ids_ref = args[i]; i += 1
+        hj_ref = args[i]; i += 1
+        attr_ref = None
+        if has_attr:
+            attr_ref = args[i]; i += 1
+        h_ref = args[i]; i += 1
+        dagg_ref = args[i]; i += 1
+        t1 = args[i:i + n_t]; i += n_t
+        w1a_ref = None
+        if has_attr:
+            w1a_ref = args[i]; i += 1
+        t2 = args[i:i + n_t]; i += n_t
+        nc = _n_consts(nb)
+        consts = args[i:i + nc]; i += nc
+        # outputs
+        dh_ref = args[i]; i += 1
+        dhj_ref = args[i]; i += 1
+        dattr_ref = None
+        if has_attr:
+            dattr_ref = args[i]; i += 1
+        g1 = args[i:i + n_t]; i += n_t
+        gw1a_ref = None
+        if has_attr:
+            gw1a_ref = args[i]; i += 1
+        g2 = args[i:i + n_t]; i += n_t
+        # scratch
+        ids_s = args[i]; i += 1
+        hj_s = args[i]; i += 1
+        attr_s = None
+        if has_attr:
+            attr_s = args[i]; i += 1
+        wmsg_s = args[i]; i += 1
+        wattr_s = None
+        if has_attr:
+            wattr_s = args[i]; i += 1
+        rmw_s = args[i]; i += 1
+        rmw_attr_s = None
+        if has_attr:
+            rmw_attr_s = args[i]; i += 1
+        sems = args[i]; i += 1
+        wsems = args[i]
+
+        b = pl.program_id(0)
+        start = bounds_ref[b]
+        end = bounds_ref[b + 1]
+        base = b * wn
+
+        @pl.when(b == 0)
+        def _():
+            for r in g1 + g2:
+                r[:] = jnp.zeros(r.shape, r.dtype)
+            if has_attr:
+                gw1a_ref[:] = jnp.zeros(gw1a_ref.shape, gw1a_ref.dtype)
+
+        dh_ref[:] = jnp.zeros(dh_ref.shape, dh_ref.dtype)
+
+        aligned_start = (start // te) * te
+        n_chunks = pl.cdiv(end - aligned_start, te)
+        rmw_first = start > aligned_start
+
+        window = h_ref[:]                               # (wn, Ln_p)
+        dagg_w = dagg_ref[:]                            # (wn, Lp)
+        cv = tuple(c[:] for c in consts)
+        refs1 = tuple(t[:] for t in t1) + cv
+        refs2 = tuple(t[:] for t in t2) + cv
+        W1h, b1 = refs1[0], refs1[1]
+        W2, b2 = refs2[0], refs2[1]
+        W1a = w1a_ref[:] if has_attr else None
+
+        def start_dma(c, slot):
+            off = pl.multiple_of(aligned_start + c * te, te)
+            pltpu.make_async_copy(
+                ids_ref.at[:, pl.ds(off, te)], ids_s.at[slot],
+                sems.at[slot, 0]).start()
+            pltpu.make_async_copy(
+                hj_ref.at[pl.ds(off, te), :], hj_s.at[slot],
+                sems.at[slot, 1]).start()
+            if has_attr:
+                pltpu.make_async_copy(
+                    attr_ref.at[pl.ds(off, te), :], attr_s.at[slot],
+                    sems.at[slot, 2]).start()
+
+        @pl.when(n_chunks > 0)
+        def _():
+            start_dma(0, 0)
+
+        def body(c, _):
+            slot = jax.lax.rem(c, 2)
+            next_slot = jax.lax.rem(c + 1, 2)
+
+            @pl.when(c + 1 < n_chunks)
+            def _():
+                start_dma(c + 1, next_slot)
+
+            off = pl.multiple_of(aligned_start + c * te, te)
+            pltpu.make_async_copy(ids_ref.at[:, pl.ds(off, te)],
+                                  ids_s.at[slot], sems.at[slot, 0]).wait()
+            pltpu.make_async_copy(hj_ref.at[pl.ds(off, te), :],
+                                  hj_s.at[slot], sems.at[slot, 1]).wait()
+            if has_attr:
+                pltpu.make_async_copy(attr_ref.at[pl.ds(off, te), :],
+                                      attr_s.at[slot],
+                                      sems.at[slot, 2]).wait()
+
+            ids = ids_s[slot]                           # (1, TE) int32
+            rows = jax.lax.broadcasted_iota(jnp.int32, (wn, te), 0)
+            oh = jnp.where(ids - base == rows, 1.0, 0.0)  # (wn, te) f32
+            gather_dt = jnp.float32 if exact else jnp.bfloat16
+            gprec = (jax.lax.Precision.HIGHEST if exact
+                     else jax.lax.Precision.DEFAULT)
+            h_i = jax.lax.dot_general(
+                oh.astype(gather_dt), window.astype(gather_dt),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=gprec)
+            # ---- forward recompute (identical math to the fwd kernel)
+            msg = h_i - hj_s[slot].astype(jnp.float32)
+            attr_c = (attr_s[slot].astype(jnp.float32) if has_attr
+                      else None)
+            y1 = _dot(msg, W1h, exact) + b1
+            if has_attr:
+                y1 = y1 + _dot(attr_c, W1a, exact)
+            f1 = _post_linear_math(y1, refs1, nb, exact)
+            x2 = f1["out"]
+            y2 = _dot(x2, W2, exact) + b2
+            f2 = _post_linear_math(y2, refs2, nb, exact)
+            # ---- output cotangent gathered from the resident block
+            dagg_e = jax.lax.dot_general(
+                oh.astype(gather_dt), dagg_w.astype(gather_dt),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=gprec)
+            # ---- block 2 backward
+            dy2, tg2 = _post_linear_bwd(dagg_e, f2, refs2, nb, exact)
+            dx2 = _dot_nt(dy2, W2, exact)
+            gW2 = _dot_t2(x2, dy2, exact)
+            gb2 = jnp.sum(dy2, axis=0, keepdims=True)
+            # ---- block 1 backward
+            dy1, tg1 = _post_linear_bwd(dx2, f1, refs1, nb, exact)
+            dmsg = _dot_nt(dy1, W1h, exact)
+            gW1 = _dot_t2(msg, dy1, exact)
+            gb1 = jnp.sum(dy1, axis=0, keepdims=True)
+            # ---- accumulate table grads
+            for r, v in zip(g1, (gW1, gb1) + tg1):
+                r[:] += v
+            for r, v in zip(g2, (gW2, gb2) + tg2):
+                r[:] += v
+            if has_attr:
+                dattr_c = _dot_nt(dy1, W1a, exact)
+                gw1a_ref[:] += _dot_t2(attr_c, dy1, exact)
+            # ---- target-side cotangent into the resident node block
+            dh_ref[:] += _dot(oh, dmsg, exact)
+            # ---- per-edge cotangent stream out (RMW on an overlapped
+            # first chunk; serialized write keeps RMW reads ordered)
+            wmsg_s[:] = -dmsg
+            if has_attr:
+                wattr_s[:] = dattr_c
+
+            @pl.when((c == 0) & rmw_first)
+            def _():
+                rd = pltpu.make_async_copy(
+                    dhj_ref.at[pl.ds(off, te), :], rmw_s, wsems.at[0])
+                rd.start()
+                rd.wait()
+                wmsg_s[:] += rmw_s[:]
+                if has_attr:
+                    rda = pltpu.make_async_copy(
+                        dattr_ref.at[pl.ds(off, te), :], rmw_attr_s,
+                        wsems.at[1])
+                    rda.start()
+                    rda.wait()
+                    wattr_s[:] += rmw_attr_s[:]
+
+            wr = pltpu.make_async_copy(
+                wmsg_s, dhj_ref.at[pl.ds(off, te), :], wsems.at[0])
+            wr.start()
+            wr.wait()
+            if has_attr:
+                wra = pltpu.make_async_copy(
+                    wattr_s, dattr_ref.at[pl.ds(off, te), :], wsems.at[1])
+                wra.start()
+                wra.wait()
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, body, 0)
+
+    return kernel
+
+
+def _dot_t2(a, b, exact: bool):
+    """Rows-contracted a^T @ b for table gradients (bf16-fed in fast
+    mode like every other kernel dot)."""
+    from .cemlp_kernel import _dot_t as _ct
+
+    return _ct(a, b, exact)
+
+
+def _mp_backward(meta, consts, interpret, h, hj, attr, ids_oh, bounds,
+                 dagg, tables):
+    (nb, exact, has_attr, wn, te, Ln, La) = meta
+    N_p, Ln_p = h.shape
+    E_p = hj.shape[0]
+    n_blocks = N_p // wn
+    t1, t2 = tables[:10], tables[10:]
+    Lp = t1[4].shape[0]
+    La_p = attr.shape[1] if has_attr else 0
+    stream_dt = jnp.float32 if exact else jnp.bfloat16
+    hj = hj.astype(stream_dt)
+    if has_attr:
+        attr = attr.astype(stream_dt)
+
+    W1 = t1[0]
+    W1h = jnp.pad(W1[:Ln], ((0, Ln_p - Ln), (0, 0)))
+    ops1 = [W1h] + [_as2d(t) for t in t1[1:]]
+    opsa = []
+    if has_attr:
+        W1a = jnp.pad(W1[Ln:Ln + La], ((0, La_p - La), (0, 0)))
+        opsa = [W1a]
+    ops2 = [_as2d(t) for t in t2]
+    opsc = [_as2d(jnp.asarray(c)) for c in consts]
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),               # ids (1, E_p)
+        pl.BlockSpec(memory_space=pl.ANY),               # hj (E_p, Ln_p)
+    ]
+    operands = [ids_oh, hj]
+    if has_attr:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        operands.append(attr)
+    in_specs.append(pl.BlockSpec((wn, Ln_p), lambda b, *_: (b, 0),
+                                 memory_space=pltpu.VMEM))
+    operands.append(h)
+    in_specs.append(pl.BlockSpec((wn, Lp), lambda b, *_: (b, 0),
+                                 memory_space=pltpu.VMEM))
+    operands.append(dagg)
+    for op in ops1 + opsa + ops2 + opsc:
+        in_specs.append(_whole_spec(op.shape))
+        operands.append(op)
+
+    grad_shapes = ([o.shape for o in ops1]
+                   + ([opsa[0].shape] if has_attr else [])
+                   + [o.shape for o in ops2])
+    out_shapes = [
+        jax.ShapeDtypeStruct((N_p, Ln_p), jnp.float32),   # dh
+        jax.ShapeDtypeStruct((E_p, Ln_p), jnp.float32),   # dhj
+    ]
+    out_specs = [
+        pl.BlockSpec((wn, Ln_p), lambda b, *_: (b, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    if has_attr:
+        out_shapes.append(jax.ShapeDtypeStruct((E_p, La_p), jnp.float32))
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    for s in grad_shapes:
+        out_shapes.append(jax.ShapeDtypeStruct(s, jnp.float32))
+        out_specs.append(_whole_spec(s))
+
+    scratch = [
+        pltpu.VMEM((2, 1, te), jnp.int32),
+        pltpu.VMEM((2, te, Ln_p), stream_dt),
+    ]
+    if has_attr:
+        scratch.append(pltpu.VMEM((2, te, La_p), stream_dt))
+    scratch.append(pltpu.VMEM((te, Ln_p), jnp.float32))   # wmsg
+    if has_attr:
+        scratch.append(pltpu.VMEM((te, La_p), jnp.float32))
+    scratch.append(pltpu.VMEM((te, Ln_p), jnp.float32))   # rmw
+    if has_attr:
+        scratch.append(pltpu.VMEM((te, La_p), jnp.float32))
+    scratch.append(pltpu.SemaphoreType.DMA((2, 3)))
+    scratch.append(pltpu.SemaphoreType.DMA((2,)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        scratch_shapes=scratch,
+    )
+    kernel = _make_bwd_kernel(nb, exact, wn, te, has_attr)
+    tables_bytes = sum(int(np.prod(o.shape)) * 4
+                       for o in ops1 + opsa + ops2 + opsc)
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=tuple(out_shapes),
+        interpret=interpret,
+        compiler_params=_vmem_params(
+            # resident: node/dagg/dh tiles + tables + their grad blocks
+            tables_bytes * 2
+            + (wn * Ln_p * 2 + wn * Lp) * 4,
+            # scratch streams + fwd-recompute AND bwd intermediates
+            2 * te * 4
+            + 2 * te * (Ln_p + La_p)
+            * jnp.dtype(stream_dt).itemsize
+            + (2 * te * (Ln_p + La_p)) * 4
+            + _gp_inter_bytes(te, nb, Lp, 8)
+            + (2 * 14 * te * Lp + 25 * te * Lp + 2 * wn * te) * 4),
+    )(bounds, *operands)
+    i = 0
+    dh = outs[i]; i += 1
+    dhj = outs[i]; i += 1
+    dattr = None
+    if has_attr:
+        dattr = outs[i]; i += 1
+    g1 = outs[i:i + 10]; i += 10
+    gW1a = None
+    if has_attr:
+        gW1a = outs[i]; i += 1
+    g2 = outs[i:i + 10]
+    return dh, dhj, dattr, g1, gW1a, g2
 
 
 def _fused_mp_bwd(meta, consts, interpret, res, dagg):
     (nb, exact, has_attr, wn, te, Ln, La) = meta
-    h, hj, attr, ids_oh, dst, tables = res
+    h, hj, attr, ids_oh, bounds, tables = res
     t1, t2 = tables[:10], tables[10:]
-    N_p = h.shape[0]
-    Lin_p = t1[0].shape[0]
-    Lp = t1[4].shape[0]
-    bmeta = (nb, exact)
 
-    # rebuild the block-1 input stream (the only E-row recompute input),
-    # mirroring the forward's fast-mode bf16 stream rounding
-    stream_dt = jnp.float32 if exact else jnp.bfloat16
-    hi_e = jnp.take(h, dst, axis=0)                      # (E_p, Ln_p)
-    msg = hi_e - hj.astype(stream_dt).astype(jnp.float32)
-    parts = [msg[:, :Ln]]
+    dh, dhj, dattr, g1, gW1a, g2 = _mp_backward(
+        meta, consts, interpret, h, hj, attr, ids_oh, bounds, dagg,
+        tables)
+
+    # reassemble the full input-linear gradient from its (message, attr)
+    # row splits, in the original table shapes
+    dW1 = jnp.zeros_like(t1[0])
+    dW1 = dW1.at[:Ln].set(g1[0][:Ln])
     if has_attr:
-        parts.append(attr.astype(stream_dt)[:, :La].astype(jnp.float32))
-    x1 = jnp.concatenate(parts, axis=1)
-    x1 = jnp.pad(x1, ((0, 0), (0, Lin_p - x1.shape[1])))
-
-    o1 = _pallas_fwd(bmeta, consts, interpret, x1, t1)
-
-    # target-gathered output cotangent; masked/padded edges (sentinel
-    # ids) contribute nothing
-    live = (ids_oh < N_p).reshape(-1, 1)
-    dagg_e = jnp.where(live, jnp.take(dagg, dst, axis=0), 0.0)
-
-    outs2 = _fused_block_bwd(bmeta, consts, interpret, (o1, t2), dagg_e)
-    do1, g2 = outs2[0], outs2[1:]
-    outs1 = _fused_block_bwd(bmeta, consts, interpret, (x1, t1), do1)
-    dx1, g1 = outs1[0], outs1[1:]
-
-    dmsg = dx1[:, :Ln]
-    Ln_p = hj.shape[1]
-    dmsg_p = jnp.pad(dmsg, ((0, 0), (0, Ln_p - Ln)))
-    dhj = -dmsg_p
-    if has_attr:
-        La_p = attr.shape[1]
-        dattr = jnp.pad(dx1[:, Ln:Ln + La], ((0, 0), (0, La_p - La)))
-    else:
+        dW1 = dW1.at[Ln:Ln + La].set(gW1a[:La])
+    if dattr is None:
         dattr = jnp.zeros_like(attr)
 
-    from .segment import sorted_segment_sum
+    def like(g, t):
+        return g.reshape(t.shape)
 
-    dh = sorted_segment_sum(dmsg_p, dst, N_p)
-    return (dh, dhj, dattr, None, None, None) + tuple(g1) + tuple(g2)
+    grads1 = (dW1,) + tuple(like(g, t) for g, t in zip(g1[1:], t1[1:]))
+    grads2 = tuple(like(g, t) for g, t in zip(g2, t2))
+    return (dh, dhj, dattr, None, None, None) + grads1 + grads2
 
 
 _fused_mp.defvjp(_fused_mp_fwd, _fused_mp_bwd)
@@ -357,7 +698,7 @@ def fused_mp_supported(algebra, edge_model) -> bool:
 
     return (jax.default_backend() == "tpu"
             and not aggregation_exact()
-            and algebra.n_blades <= 8
+            and algebra.n_blades <= 32
             and edge_model.n_layers == 2
             and edge_model.hidden_features == edge_model.out_features)
 

@@ -141,19 +141,34 @@ def _take_rows_fwd(h, idx):
     return jnp.take(h, idx, axis=0), (idx, h.shape[0])
 
 
+def _permute_rows_flat(g, order):
+    """Row permutation of a cotangent as a FLAT 2-D gather, cast to the
+    aggregation stream dtype FIRST.
+
+    Keeping the (E, C, nb) shape here lets XLA pick an edge-minor
+    layout ({0,2,1}) for the fused cast+gather, which degrades the row
+    gather ~20x (measured 15 ms vs 0.8 ms for the same 134 MB at the
+    bench shape).  Flattening to (E, D) pins the row-major layout, and
+    casting before the gather halves its traffic in fast mode."""
+    flat = g.reshape(g.shape[0], -1)
+    if not aggregation_exact():
+        flat = flat.astype(jnp.bfloat16)
+    return jnp.take(flat, order, axis=0)
+
+
 def _take_rows_bwd(res, g):
     idx, n = res
     order = jnp.argsort(idx)
-    g_sorted = jnp.take(g, order, axis=0)
     ids_sorted = jnp.take(idx, order)
     if _on_tpu():
-        flat = g_sorted.reshape(g_sorted.shape[0], -1)
+        flat = _permute_rows_flat(g, order)
         from .pallas_segment import sorted_segment_sum_pallas
 
         d_h = sorted_segment_sum_pallas(flat, ids_sorted, n, 128, 1024,
                                         aggregation_exact())
-        d_h = d_h.reshape((n,) + g.shape[1:])
+        d_h = d_h.astype(g.dtype).reshape((n,) + g.shape[1:])
     else:
+        g_sorted = jnp.take(g, order, axis=0)
         d_h = jax.ops.segment_sum(g_sorted, ids_sorted, num_segments=n,
                                   indices_are_sorted=True)
     return d_h, None
@@ -183,15 +198,15 @@ def _take_rows_ps_fwd(h, idx, order, idx_sorted):
 
 def _take_rows_ps_bwd(res, g):
     order, idx_sorted, n = res
-    g_sorted = jnp.take(g, order, axis=0)
     if _on_tpu():
         from .pallas_segment import sorted_segment_sum_pallas
 
-        flat = g_sorted.reshape(g_sorted.shape[0], -1)
+        flat = _permute_rows_flat(g, order)
         d_h = sorted_segment_sum_pallas(flat, idx_sorted, n, 128, 1024,
                                         aggregation_exact())
-        d_h = d_h.reshape((n,) + g.shape[1:])
+        d_h = d_h.astype(g.dtype).reshape((n,) + g.shape[1:])
     else:
+        g_sorted = jnp.take(g, order, axis=0)
         d_h = jax.ops.segment_sum(g_sorted, idx_sorted, num_segments=n,
                                   indices_are_sorted=True)
     return d_h, None, None, None

@@ -27,6 +27,8 @@ def _grads_match(ga, gb, rtol=1e-4, atol=1e-5):
     ((1.0, 1.0, 1.0), (5, 6, 4), 2),
     ((1.0, 1.0, 1.0), (4, 4, 4), 1),
     ((1.0, 1.0), (7, 5, 3), 2),       # Cl(2), nb=4
+    ((1.0,) * 5, (3, 4, 4), 2),       # Cl(5), nb=32: pair-form GP
+    ((1.0,) * 4, (5, 4, 3), 1),       # Cl(4), nb=16: pair-form GP
 ])
 def test_fused_matches_unfused(metric, feats, n_layers):
     alg = get_algebra(metric)
@@ -90,6 +92,29 @@ def test_fused_egcl_matches():
 def test_fused_supported_gating():
     from csmpn_tpu.ops.cemlp_kernel import fused_supported
 
-    # CPU test environment: never auto-fused; Cl(5) never fused
+    # CPU test environment: never auto-fused (TPU + fast mode only)
     assert not fused_supported(get_algebra((1.0, 1.0, 1.0)))
     assert not fused_supported(get_algebra((1.0,) * 5))
+
+
+def test_fused_cl5_hulls_width():
+    """Pair-form fused CEMLP at the flagship hulls configuration
+    (Cl(5,0), hidden 28 => 896 lanes, reference hulls_cssmpnn.py:28):
+    forward + all gradients match the composed stack."""
+    alg = get_algebra((1.0,) * 5)
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(9, 28, alg.n_blades), jnp.float32)
+    ref = CEMLP(alg, 28, 28, 28, fused=False)
+    fused = CEMLP(alg, 28, 28, 28, fused=True)
+    params = ref.init(jax.random.PRNGKey(3), x)
+    out_ref = ref.apply(params, x)
+    out_f = fused.apply(params, x)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_ref),
+                               rtol=2e-4, atol=1e-5)
+    gr = jax.grad(lambda p, v: jnp.sum(ref.apply(p, v) ** 2),
+                  argnums=(0, 1))(params, x)
+    gf = jax.grad(lambda p, v: jnp.sum(fused.apply(p, v) ** 2),
+                  argnums=(0, 1))(params, x)
+    np.testing.assert_allclose(np.asarray(gf[1]), np.asarray(gr[1]),
+                               rtol=2e-4, atol=1e-5)
+    _grads_match(gr[0], gf[0], rtol=2e-4, atol=1e-5)

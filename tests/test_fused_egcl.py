@@ -170,3 +170,62 @@ def test_fused_mp_large_ids_gap():
                  False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_fused_mp_bwd_many_blocks_one_chunk():
+    """Combined-backward RMW stress: with few edges spread over MANY node
+    blocks, a single te-chunk of the dhj stream is shared by 3+ blocks,
+    each read-modify-writing its own rows.  Gradients must still match
+    the composed path exactly (fused_egcl._make_bwd_kernel overlap
+    handling)."""
+    alg = get_algebra((1.0, 1.0, 1.0))
+    nb = alg.n_blades
+    rng = np.random.RandomState(23)
+    n, e, cm, c = 900, 60, 4, 4        # 8 blocks of wn=128, ~7 edges each
+    dst = np.sort(rng.randint(0, n, size=e)).astype(np.int32)
+    h = jnp.asarray(rng.randn(n, cm, nb), jnp.float32)
+    hj = jnp.asarray(rng.randn(e, cm, nb), jnp.float32)
+    cemlp = CEMLP(alg, cm, c, c, fused=False)
+    msg_in = h[jnp.asarray(dst)] - hj
+    params = cemlp.init(jax.random.PRNGKey(2), msg_in)
+    cot = jnp.asarray(rng.randn(n, c, nb), jnp.float32)
+    dstj = jnp.asarray(dst)
+
+    def loss(fn, p, hh, hhj):
+        return jnp.sum(fn(cemlp, p, hh, hhj, None, dstj, None, False)
+                       * cot)
+
+    g_ref = jax.grad(lambda *a: loss(_composed, *a),
+                     argnums=(0, 1, 2))(params, h, hj)
+    g_out = jax.grad(lambda *a: loss(_fused, *a),
+                     argnums=(0, 1, 2))(params, h, hj)
+    for a, b in zip(jax.tree.leaves(g_out), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
+
+
+def test_fused_mp_cl5_pair_form():
+    """Fused message passing at Cl(5,0) (pair-form GP, nb=32): forward
+    and full gradients match the composed path — the hulls flagship can
+    run the fused kernels (VERDICT r2 #4)."""
+    alg, cemlp, params, h, hj, attr, dst, _, mask = _setup(
+        metric=(1.0,) * 5, n=70, e=150, cm=3, ca=2, c=4)
+    ref = _composed(cemlp, params, h, hj, attr, dst, mask, True)
+    out = _fused(cemlp, params, h, hj, attr, dst, mask, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=1e-5)
+
+    cot = jnp.asarray(
+        np.random.RandomState(9).randn(*np.asarray(ref).shape),
+        jnp.float32)
+
+    def loss(fn, p, hh, hhj, aa):
+        return jnp.sum(fn(cemlp, p, hh, hhj, aa, dst, mask, True) * cot)
+
+    g_ref = jax.grad(lambda *a: loss(_composed, *a),
+                     argnums=(0, 1, 2, 3))(params, h, hj, attr)
+    g_out = jax.grad(lambda *a: loss(_fused, *a),
+                     argnums=(0, 1, 2, 3))(params, h, hj, attr)
+    for a, b in zip(jax.tree.leaves(g_out), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=2e-5)
