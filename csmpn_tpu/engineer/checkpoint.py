@@ -1,14 +1,28 @@
 """Best-metric checkpointing with resume
 (reference `engineer/callbacks/checkpoint.py`).
 
-Payload = {params, opt_state, best metrics, epoch, step} as a pickled
-numpy-ified pytree; written by process 0 only; improvement schedules an
-immediate test pass (reference checkpoint.py:129 via should_test).
+Payload: the (params, opt_state) pytree saved with orbax (tensorstore —
+sharded-array-aware, no arbitrary-code deserialization) into a
+checkpoint DIRECTORY, plus a small ``meta.json`` sidecar carrying
+{metrics, epoch, step}.  Written by process 0 only; improvement
+schedules an immediate test pass (reference checkpoint.py:129 via
+should_test).
+
+Restore is two-phase because the experiment state does not exist yet
+when the callback is constructed: ``Checkpoint(dir=path)`` reads only
+``meta.json`` (best metrics / epoch / step), and ``restore(trainer,
+state)`` — called by the Trainer once the live state pytree exists —
+restores the arrays INTO that structure (orbax needs the target tree to
+rebuild optax NamedTuple states).
+
+Legacy pickled single-file checkpoints from earlier rounds are still
+readable (gated on the path being a file, not a directory).
 """
 from __future__ import annotations
 
+import json
 import os
-import pickle
+import shutil
 from typing import Dict, Optional
 
 import jax
@@ -19,10 +33,17 @@ def _to_host(tree):
     return jax.tree.map(np.asarray, jax.device_get(tree))
 
 
+def _ckptr():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
 class Checkpoint:
     def __init__(self, metrics=None, dir: Optional[str] = None):
         self.dir = dir
-        self._cached_state = None
+        self._cached_state = None     # legacy pickle path only
+        self._restore_dir = None      # orbax directory to restore from
         self._cached_epoch = None
         self._cached_step = None
 
@@ -36,6 +57,16 @@ class Checkpoint:
         self.save_paths: Dict[str, str] = {}
 
     def load_checkpoint(self, path: str):
+        if os.path.isdir(path):
+            with open(os.path.join(path, "meta.json")) as f:
+                meta = json.load(f)
+            self._restore_dir = path
+            self._cached_epoch = meta["epoch"]
+            self._cached_step = meta["step"]
+            return meta["metrics"]
+        # legacy single-file pickle (rounds 1-2)
+        import pickle
+
         with open(path, "rb") as f:
             payload = pickle.load(f)
         self._cached_state = (payload["params"], payload["opt_state"])
@@ -44,7 +75,13 @@ class Checkpoint:
         return payload["metrics"]
 
     def restore(self, trainer, state):
-        if self._cached_state is not None:
+        if self._restore_dir is not None:
+            restored = _ckptr().restore(
+                os.path.abspath(os.path.join(self._restore_dir, "state")),
+                item={"params": state[0], "opt_state": state[1]})
+            state = (restored["params"], restored["opt_state"])
+            print(f"Successfully restored state from {self.dir}!")
+        elif self._cached_state is not None:
             state = self._cached_state
             print(f"Successfully restored state from {self.dir}!")
         if self._cached_epoch is not None:
@@ -54,6 +91,7 @@ class Checkpoint:
             trainer.global_step = self._cached_step
             print(f"Set global step to {self._cached_step}.")
         self._cached_state = None
+        self._restore_dir = None
         self._cached_epoch = None
         self._cached_step = None
         return state
@@ -75,21 +113,29 @@ class Checkpoint:
                 self.best_metrics[m] = value
                 if should_write:
                     params, opt_state = state
-                    payload = {
-                        "params": _to_host(params),
-                        "opt_state": _to_host(opt_state),
-                        "metrics": self.best_metrics,
-                        "epoch": trainer.current_epoch,
-                        "step": trainer.global_step,
-                    }
                     alias = f"best_{m.replace('/', '_')}"
                     os.makedirs(trainer.logger.dir, exist_ok=True)
-                    save_path = os.path.join(trainer.logger.dir, alias)
-                    with open(save_path, "wb") as f:
-                        pickle.dump(payload, f)
+                    # orbax/tensorstore requires absolute paths
+                    save_path = os.path.abspath(
+                        os.path.join(trainer.logger.dir, alias))
+                    if os.path.exists(save_path):
+                        shutil.rmtree(save_path)
+                    _ckptr().save(
+                        os.path.join(save_path, "state"),
+                        {"params": _to_host(params),
+                         "opt_state": _to_host(opt_state)})
+                    with open(os.path.join(save_path, "meta.json"),
+                              "w") as f:
+                        json.dump({"metrics": self.best_metrics,
+                                   "epoch": trainer.current_epoch,
+                                   "step": trainer.global_step}, f)
                     if m in self.save_paths \
                             and self.save_paths[m] != save_path:
-                        os.remove(self.save_paths[m])
+                        stale = self.save_paths[m]
+                        if os.path.isdir(stale):
+                            shutil.rmtree(stale)
+                        elif os.path.exists(stale):
+                            os.remove(stale)
                     self.save_paths[m] = save_path
                     print(f"Metric {m} improved to {value:.4f}; saved "
                           f"checkpoint to {save_path}. Scheduling test "

@@ -65,6 +65,20 @@ def fire(function: Callable[[Dict], None]) -> None:
     plat = os.environ.get("JAX_PLATFORMS")
     if plat:
         jax.config.update("jax_platforms", plat)
+    # Persistent compile cache for task runs: restarting a training run
+    # (or retrying after a transient accelerator failure) must not pay
+    # the multi-minute recompile again.  On accelerators only — the
+    # XLA:CPU AOT cache is broken in this jaxlib (NOTES.md); tests
+    # already run cache-less via conftest.
+    if plat != "cpu":
+        cache_dir = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__)))),
+                ".jax_cache"))
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0.0)
     config, name, experiment = parse_args()
     print("\nConfiguration\n---")
     pretty(config)

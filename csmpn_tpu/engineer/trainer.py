@@ -451,8 +451,13 @@ class Trainer:
                                        self.val_check_interval,
                                        self.skip_initial_eval)
 
+        # the dispatch group persists ACROSS epochs: datasets with fewer
+        # batches per epoch than steps_per_dispatch (e.g. motion's 200
+        # samples / bs 100 = 2) would otherwise flush every batch through
+        # the epoch-end partial path and never reach the log/val boundary
+        # checks below (r3 bug: a 10k-step run with no validation)
+        pending = []
         while not self.should_stop:
-            pending = []
             for batch in train_loader:
                 if self.steps_per_dispatch > 1:
                     pending.append(batch)
@@ -506,11 +511,8 @@ class Trainer:
                     raise self.should_raise
                 if self.should_stop:
                     break
-            # flush a partial dispatch group at epoch end
-            if self.steps_per_dispatch > 1 and pending \
-                    and not self.should_stop:
-                for b in pending:
-                    self.train_step(b)
-                    self.global_step += 1
             self.current_epoch += 1
+        # batches fetched into a partial group when the stop fired were
+        # never trained on; dropping them keeps global_step == trained
+        # steps (max_steps stops land on group boundaries anyway)
         return self._state[0]

@@ -200,6 +200,36 @@ class TestMultiStepDispatch:
         val_steps = [s for s, v in calls if v]
         assert val_steps == [3, 11, 23], val_steps
 
+    def test_group_spans_epochs(self, dataset, model):
+        """A dispatch group LARGER than an epoch (motion: 2 batches/epoch
+        vs steps_per_dispatch=16) must keep accumulating across epochs —
+        the r3 bug routed every batch through the epoch-end partial
+        flush, skipping ALL log/val boundary checks (a 10k-step run with
+        zero validations)."""
+        from csmpn_tpu.engineer.trainer import Trainer
+        from csmpn_tpu.engineer.loggers import ConsoleLogger
+        from csmpn_tpu.engineer.optim import adam
+
+        calls = []
+
+        class CountingTrainer(Trainer):
+            def test_loop(self, params, loader, validation=False):
+                calls.append((self.global_step, validation))
+                return {}
+
+        loader = dataset.train_loader(seed=5)      # 4 batches per epoch
+        batch = next(iter(dataset.train_loader(seed=5)))
+        params = model.init(jax.random.PRNGKey(7), batch)
+        tr = CountingTrainer(max_steps=24, val_check_interval=10,
+                             print_interval=100, log_interval=10**9,
+                             logger=ConsoleLogger(dir=None),
+                             steps_per_dispatch=16, donate=False)
+        tr.fit(model, params, adam(lr=1e-3), loader, val_loader=loader)
+        val_steps = [s for s, v in calls if v]
+        # groups of 16 end at steps 15, 31: each picks up its crossed
+        # boundaries (0+10, then 20+30)
+        assert val_steps == [15, 31], val_steps
+
 
 class TestGroupedEval:
     def test_matches_per_batch_eval(self, dataset, model):

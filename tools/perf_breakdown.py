@@ -23,9 +23,18 @@ import numpy as np
 # PJRT plugin registration in this container (see NOTES.md)
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-V5E_HBM_GBPS = 819.0          # v5e HBM bandwidth
-V5E_BF16_TFLOPS = 394.0       # v5e MXU peak (bf16)
+V5E_HBM_GBPS = 819.0          # v5e HBM bandwidth (spec sheet)
+V5E_BF16_TFLOPS = 394.0       # v5e MXU peak (bf16, spec sheet)
 V5E_F32_TFLOPS = 98.5         # f32 (bf16x3 ~ 1/4 of bf16 peak)
+
+# PRACTICAL envelope of THIS tunnel chip, measured with tools/mxu_probe*
+# (round 3; see NOTES.md "Measured machine envelope"): HBM streams reach
+# ~210-260 GB/s (not 819) and the bf16 MXU ~160 TF/s.  The "x over
+# roofline" column is reported against BOTH: the spec roofline is the
+# hardware-aspirational bound, the practical one is what a perfect
+# kernel could actually reach on this machine today.
+PRACT_HBM_GBPS = 240.0
+PRACT_BF16_TFLOPS = 160.0
 
 
 def timed(fn, arg, steps=8, repeats=5):
@@ -103,12 +112,14 @@ def main():
 
     def report(name, sec, hbm_bytes, flops):
         t_mem = hbm_bytes / (V5E_HBM_GBPS * 1e9)
+        t_mem_p = hbm_bytes / (PRACT_HBM_GBPS * 1e9)
         rows.append((name, sec, hbm_bytes, flops, t_mem))
         bw = hbm_bytes / sec / 1e9
         fl = flops / sec / 1e12
         print(f"{name:34s} {sec*1e3:8.3f} ms   {bw:7.1f} GB/s "
               f"({bw/V5E_HBM_GBPS*100:5.1f}% HBM)   {fl:6.2f} TF/s   "
-              f"roofline {t_mem*1e3:6.3f} ms  ({sec/t_mem:5.1f}x)")
+              f"roofline {t_mem*1e3:6.3f} ms ({sec/t_mem:5.1f}x spec, "
+              f"{sec/t_mem_p:5.1f}x practical)")
 
     # ---- gather (take_rows): read h rows by index + write E rows
     t = timed(lambda m: seg.take_rows(h, dst_j) + m, msg,
