@@ -88,7 +88,12 @@ class NBADataset:
 
     def __init__(self, batch_size: int = 100, mode: str = "atk",
                  dim: int = 2, dis: float = 10000.0,
-                 max_samples: int = 0):
+                 max_samples: int = 0, synth_plays: int = 40):
+        """``synth_plays``: size of the SYNTHETIC stand-in raw file when
+        the true SportVU ``all_data.npy`` is absent (no effect
+        otherwise).  The default keeps tests fast; full-budget
+        convergence runs pass a value large enough for the reference
+        batch size (e.g. 800 -> 480 train plays at bs 100)."""
         self.batch_size = int(batch_size)
         root = os.path.join(dataroot(), "nba")
         splits = ("train", "val", "test")
@@ -97,7 +102,7 @@ class NBADataset:
                 os.path.join(mdir, f"trajectories_{s}.npy"))
                 for s in splits):
             if not preprocess_raw(root, mode):
-                _synthesize_raw(root)
+                _synthesize_raw(root, plays=int(synth_plays))
                 assert preprocess_raw(root, mode)
 
         raw_sz = os.path.getsize(

@@ -66,6 +66,8 @@ def main():
                           pl.BlockSpec(memory_space=pltpu.VMEM)],
                 out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
                 out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 << 20),
             )(xx, w)
 
         return call
