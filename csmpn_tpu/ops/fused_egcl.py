@@ -224,7 +224,10 @@ def _mp_forward(meta, consts, interpret, h, hj, attr, ids_oh, dst, bounds,
     La_p = attr.shape[1] if has_attr else 0
     # fast mode streams the per-edge inputs as bf16 (halves the dominant
     # HBM traffic; same input-rounding class as the bf16 aggregation) —
-    # the backward recompute applies the same rounding
+    # the backward recompute applies the same rounding.  The cast happens
+    # upstream in fused_message_aggregate (bf16 activation STORAGE, so the
+    # caller's gather already moves bf16 rows); re-asserted here for
+    # direct callers.
     stream_dt = jnp.float32 if exact else jnp.bfloat16
     hj = hj.astype(stream_dt)
     if has_attr:
@@ -340,6 +343,9 @@ def _fused_mp_fwd(meta, consts, interpret, h, hj, attr, ids_oh, dst,
 def _make_bwd_kernel(nb: int, exact: bool, wn: int, te: int,
                      has_attr: bool):
     n_t = 10
+    # per-edge cotangents stream back at the activation-storage dtype
+    # (bf16 in fast mode — their consumers re-round to bf16 anyway)
+    stream_dt = jnp.float32 if exact else jnp.bfloat16
 
     def kernel(*args):
         i = 0
@@ -496,9 +502,9 @@ def _make_bwd_kernel(nb: int, exact: bool, wn: int, te: int,
             dh_ref[:] += _dot(oh, dmsg, exact)
             # ---- per-edge cotangent stream out (RMW on an overlapped
             # first chunk; serialized write keeps RMW reads ordered)
-            wmsg_s[:] = -dmsg
+            wmsg_s[:] = (-dmsg).astype(stream_dt)
             if has_attr:
-                wattr_s[:] = dattr_c
+                wattr_s[:] = dattr_c.astype(stream_dt)
 
             @pl.when((c == 0) & rmw_first)
             def _():
@@ -586,7 +592,7 @@ def _mp_backward(meta, consts, interpret, h, hj, attr, ids_oh, bounds,
                    + [o.shape for o in ops2])
     out_shapes = [
         jax.ShapeDtypeStruct((N_p, Ln_p), jnp.float32),   # dh
-        jax.ShapeDtypeStruct((E_p, Ln_p), jnp.float32),   # dhj
+        jax.ShapeDtypeStruct((E_p, Ln_p), stream_dt),     # dhj
     ]
     out_specs = [
         pl.BlockSpec((wn, Ln_p), lambda b, *_: (b, 0),
@@ -594,7 +600,7 @@ def _mp_backward(meta, consts, interpret, h, hj, attr, ids_oh, bounds,
         pl.BlockSpec(memory_space=pl.ANY),
     ]
     if has_attr:
-        out_shapes.append(jax.ShapeDtypeStruct((E_p, La_p), jnp.float32))
+        out_shapes.append(jax.ShapeDtypeStruct((E_p, La_p), stream_dt))
         out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
     for s in grad_shapes:
         out_shapes.append(jax.ShapeDtypeStruct(s, jnp.float32))
@@ -606,12 +612,12 @@ def _mp_backward(meta, consts, interpret, h, hj, attr, ids_oh, bounds,
     ]
     if has_attr:
         scratch.append(pltpu.VMEM((2, te, La_p), stream_dt))
-    scratch.append(pltpu.VMEM((te, Ln_p), jnp.float32))   # wmsg
+    scratch.append(pltpu.VMEM((te, Ln_p), stream_dt))     # wmsg
     if has_attr:
-        scratch.append(pltpu.VMEM((te, La_p), jnp.float32))
-    scratch.append(pltpu.VMEM((te, Ln_p), jnp.float32))   # rmw
+        scratch.append(pltpu.VMEM((te, La_p), stream_dt))
+    scratch.append(pltpu.VMEM((te, Ln_p), stream_dt))     # rmw
     if has_attr:
-        scratch.append(pltpu.VMEM((te, La_p), jnp.float32))
+        scratch.append(pltpu.VMEM((te, La_p), stream_dt))
     scratch.append(pltpu.SemaphoreType.DMA((2, 3)))
     scratch.append(pltpu.SemaphoreType.DMA((2,)))
 
@@ -664,6 +670,13 @@ def _fused_mp_bwd(meta, consts, interpret, res, dagg):
     dh, dhj, dattr, g1, gW1a, g2 = _mp_backward(
         meta, consts, interpret, h, hj, attr, ids_oh, bounds, dagg,
         tables)
+    # cotangent dtypes must match the primals (bf16 activation storage in
+    # fast mode; dh accumulates f32 in VMEM and is rounded once here —
+    # N-row, negligible traffic)
+    dh = dh.astype(h.dtype)
+    dhj = dhj.astype(hj.dtype)
+    if dattr is not None:
+        dattr = dattr.astype(attr.dtype)
 
     # reassemble the full input-linear gradient from its (message, attr)
     # row splits, in the original table shapes
@@ -742,15 +755,22 @@ def fused_message_aggregate(edge_model, h, hj, edge_attr, dst,
     E_p = max(_round_up(E, te), te)
     sent = np.int32(N_p + wn)
 
-    h_flat = h.reshape(N, Ln).astype(jnp.float32)
+    # bf16 activation STORAGE in fast mode: the node window, the
+    # pre-gathered source stream, and the edge attrs all live in HBM (and
+    # in the VJP residuals) at the stream dtype — halving the dominant
+    # E-row traffic.  Values are identical to the r3 behaviour (the kernel
+    # already rounded every use of these operands to bf16); only the HBM
+    # copies shrink.
+    stream_dt = jnp.float32 if exact else jnp.bfloat16
+    h_flat = h.reshape(N, Ln).astype(stream_dt)
     h_flat = jnp.pad(h_flat, ((0, N_p - N), (0, Ln_p - Ln)))
-    hj_flat = hj.reshape(E, Ln).astype(jnp.float32)
+    hj_flat = hj.reshape(E, Ln).astype(stream_dt)
     hj_flat = jnp.pad(hj_flat, ((0, E_p - E), (0, Ln_p - Ln)))
     if has_attr:
-        attr_flat = edge_attr.reshape(E, La).astype(jnp.float32)
+        attr_flat = edge_attr.reshape(E, La).astype(stream_dt)
         attr_flat = jnp.pad(attr_flat, ((0, E_p - E), (0, La_p - La)))
     else:
-        attr_flat = jnp.zeros((E_p, La_p), jnp.float32)
+        attr_flat = jnp.zeros((E_p, La_p), stream_dt)
 
     dst = dst.astype(jnp.int32)
     ids = dst if edge_mask is None else jnp.where(edge_mask, dst, sent)

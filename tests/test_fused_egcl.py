@@ -148,6 +148,39 @@ def test_fused_mp_fast_mode_close():
     assert err < 2e-2 * max(scale, 1.0), (err, scale)
 
 
+def test_fused_mp_fast_mode_grads_close():
+    """Fast-mode GRADIENTS (bf16 streams, bf16 dhj/dattr cotangent
+    storage) stay within the documented ~1e-2 relative rounding of the
+    f32 composed path — covers the bf16 activation-storage backward
+    (r4: stream-dtype dhj/dattr outputs + boundary casts)."""
+    from csmpn_tpu.ops.segment import set_aggregation_mode
+
+    alg, cemlp, params, h, hj, attr, dst, _, mask = _setup()
+    cot = jnp.asarray(
+        np.random.RandomState(5).randn(h.shape[0], 4, alg.n_blades),
+        jnp.float32)
+
+    def loss(fn, p, hh, hhj, aa):
+        return jnp.sum(fn(cemlp, p, hh, hhj, aa, dst, mask, True) * cot)
+
+    g_ref = jax.grad(lambda *a: loss(_composed, *a),
+                     argnums=(0, 1, 2, 3))(params, h, hj, attr)
+    set_aggregation_mode("fast")
+    try:
+        # bf16 activation storage: cast inputs as EGCL's fast path does
+        g_out = jax.grad(lambda *a: loss(_fused, *a),
+                         argnums=(0, 1, 2, 3))(
+            params, h.astype(jnp.bfloat16), hj.astype(jnp.bfloat16),
+            attr.astype(jnp.bfloat16))
+    finally:
+        set_aggregation_mode("exact")
+    for a, b in zip(jax.tree.leaves(g_out), jax.tree.leaves(g_ref)):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        scale = max(np.abs(b).max(), 1.0)
+        assert np.abs(a - b).max() < 3e-2 * scale, \
+            (np.abs(a - b).max(), scale)
+
+
 def test_fused_mp_large_ids_gap():
     """Sparse segments: large id jumps within one chunk must not corrupt
     neighbouring blocks (chunk-alignment overlap reads)."""
