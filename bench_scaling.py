@@ -59,17 +59,20 @@ def run_streaming(args):
                                 locality=args.locality or None)
     n_edges = ei.shape[1]
     part = partition_edges(ei, n_nodes, n_chunks)
-    rng = np.random.RandomState(0)
+    # f32 generation: f64 at this node count is 20 GB of host scratch
+    hh = np.random.default_rng(0).standard_normal(
+        (n_nodes, args.hidden, 8), dtype=np.float32)
     h_dt = jnp.bfloat16 if fast else jnp.float32
-    h = jnp.asarray(rng.randn(n_nodes, args.hidden, 8).astype(np.float32),
-                    dtype=h_dt)
+    h = jnp.asarray(hh, dtype=h_dt)
+    del hh
     egcl = EGCL(alg, args.hidden, args.hidden, args.hidden, aggr="mean")
     params = egcl.init(jax.random.PRNGKey(0),
                        h[:128].astype(jnp.float32),
                        jnp.asarray(ei[:, :128] % 128))
     ei_arr = jnp.asarray(part.edge_index)
     mask_arr = jnp.asarray(part.edge_mask)
-    n_elems = n_nodes * args.hidden * 8
+    # float: at 10M x 256 lanes this exceeds int32 inside jit
+    n_elems = float(n_nodes) * args.hidden * 8
 
     # the (N, C, nb) output array alone is 9.5 GB of f32 at this scale:
     # reduce each chunk to a scalar loss term inside the remat'd scan body
