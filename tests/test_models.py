@@ -54,6 +54,8 @@ class TestMotion:
         loss1, _ = model.apply(params, moved)
         np.testing.assert_allclose(float(loss1), float(loss0), rtol=1e-3)
 
+    @pytest.mark.slow  # ~30 s compile on 4 cores; gradient health is
+    # also exercised by every training-loop test and run
     def test_grad_finite(self, setup):
         ds, model, batch, params = setup
         g = jax.grad(lambda p: model.apply(p, batch)[0])(params)
@@ -130,6 +132,8 @@ class TestNBA:
 
 
 class TestHullsRotation:
+    @pytest.mark.slow  # ~25 s compile; O(5) equivariance is also covered
+    # per-layer in test_layers/test_algebra (fast tier)
     def test_rotation_invariance(self):
         """Rotating the 5-D input point cloud must leave the predicted
         volume (a scalar) unchanged — the core equivariance claim."""
