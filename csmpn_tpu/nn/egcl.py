@@ -164,15 +164,31 @@ class EGCL(nn.Module):
                 self.edge_model, h_s, h_j, ea_s, dst,
                 edge_mask=edge_mask, mean=(self.aggr == "mean"))
             return self.update(h, agg, node_attr)
+        # bf16 activation storage on the batched (stacked-small-graph)
+        # task path too: in fast mode on TPU the edge-row gathers, their
+        # scatter VJPs, and the message stream into the one-hot
+        # aggregation all move bf16 rows (the fused CEMLP kernel and the
+        # aggregation matmul round to bf16 internally anyway — this just
+        # halves the HBM traffic of moving the same values).  The update
+        # below still sees the f32 h for the residual.
+        from ..ops.segment import _on_tpu, aggregation_exact
+
+        if aggregation_exact() or not _on_tpu():
+            h_s, ea_s = h, edge_attr
+        else:
+            h_s = h.astype(jnp.bfloat16)
+            ea_s = (edge_attr.astype(jnp.bfloat16)
+                    if edge_attr is not None else None)
         if self.edges_sorted:
-            h_i = take_rows_sorted_idx(h, dst)   # targets (sorted ids)
+            h_i = take_rows_sorted_idx(h_s, dst)   # targets (sorted ids)
         else:
-            h_i = take_rows(h, dst)
+            h_i = take_rows(h_s, dst)
         if src_sort is not None:
-            h_j = take_rows_presorted(h, src, *src_sort)
+            h_j = take_rows_presorted(h_s, src, *src_sort)
         else:
-            h_j = take_rows(h, src)
-        msg = self.message(h_i, h_j, edge_attr)
+            h_j = take_rows(h_s, src)
+        msg = self.message(h_i, h_j, ea_s)
         agg = self.aggregate(msg, dst, num_nodes, edge_mask,
                              batch_shape=batch_shape)
+        agg = agg.astype(h.dtype)
         return self.update(h, agg, node_attr)

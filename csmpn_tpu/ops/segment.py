@@ -273,6 +273,42 @@ batched_take.defvjp(_batched_take_fwd, _batched_take_bwd)
 
 # ---------------------------------------------------- batched matmul path
 
+@jax.custom_vjp
+def _onehot_matmul_fast(onehot: jnp.ndarray,
+                        data_b: jnp.ndarray) -> jnp.ndarray:
+    """``einsum("bne,bed->bnd")`` as ONE bf16 MXU pass (f32 accumulation)
+    in BOTH directions.  The 0/1 membership tensor is exact in bf16 and
+    the data rounding is the same error class as the flat fast path's
+    stream rounding; the custom_vjp exists because the autodiff transpose
+    of a bf16 einsum with an f32 cotangent promotes back to the ~2.8x
+    slower f32 MXU path (NOTES.md machine envelope)."""
+    return jnp.einsum(
+        "bne,bed->bnd", onehot.astype(jnp.bfloat16),
+        data_b.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32)
+
+
+def _onehot_matmul_fast_fwd(onehot, data_b):
+    # residuals must be JAX values: carry the data dtype as a 0-d array
+    return _onehot_matmul_fast(onehot, data_b), (
+        onehot, jnp.zeros((), data_b.dtype))
+
+
+def _onehot_matmul_fast_bwd(res, g):
+    onehot, dt_proxy = res
+    dt = dt_proxy.dtype
+    d_data = jnp.einsum(
+        "bne,bnd->bed", onehot.astype(jnp.bfloat16),
+        g.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32).astype(dt)
+    # onehot is built from integer ids / a bool mask and wrapped in
+    # stop_gradient at the call site — this cotangent is dead (DCE'd).
+    return jnp.zeros_like(onehot), d_data
+
+
+_onehot_matmul_fast.defvjp(_onehot_matmul_fast_fwd, _onehot_matmul_fast_bwd)
+
+
 def _batched_onehot_agg(data: jnp.ndarray, segment_ids: jnp.ndarray,
                         batch_shape, mask: Optional[jnp.ndarray],
                         mean: bool) -> jnp.ndarray:
@@ -281,20 +317,28 @@ def _batched_onehot_agg(data: jnp.ndarray, segment_ids: jnp.ndarray,
 
     The big-graph arrays are flat with static per-sample offsets b*N
     (batching.py); reshaping to (B, E) and building a (B, N, E) one-hot
-    membership tensor turns scatter into an MXU-batched matmul.
+    membership tensor turns scatter into an MXU-batched matmul.  In fast
+    mode the matmul feeds the MXU bf16 operands with f32 accumulation
+    (one pass — ~2.8x the f32 rate on the measured machine envelope);
+    the in-degree counts stay f32-exact either way.
     """
     b, n, e = batch_shape
     d = int(np.prod(data.shape[1:]))
     data_b = data.reshape(b, e, d)
     local = segment_ids.reshape(b, e) - (
         jnp.arange(b, dtype=segment_ids.dtype) * n)[:, None]
-    onehot = jax.nn.one_hot(local, n, axis=1, dtype=data.dtype)  # (B, N, E)
+    onehot = jax.nn.one_hot(local, n, axis=1,
+                            dtype=jnp.float32)           # (B, N, E)
     if mask is not None:
-        onehot = onehot * mask.reshape(b, 1, e).astype(data.dtype)
-    out = jnp.einsum("bne,bed->bnd", onehot, data_b)
+        onehot = onehot * mask.reshape(b, 1, e).astype(jnp.float32)
+    onehot = jax.lax.stop_gradient(onehot)  # non-diff (ids/mask)
+    if aggregation_exact():
+        out = jnp.einsum("bne,bed->bnd", onehot.astype(data.dtype), data_b)
+    else:
+        out = _onehot_matmul_fast(onehot, data_b)
     if mean:
         count = jnp.maximum(jnp.sum(onehot, axis=2), 1.0)       # (B, N)
-        out = out / count[..., None]
+        out = out / count[..., None].astype(out.dtype)
     return out.reshape((b * n,) + data.shape[1:])
 
 

@@ -274,3 +274,34 @@ class TestSGPPairImpl:
             for k in range(8):
                 dense[i_of[j, k], j, k] = coeff[j, k]
         np.testing.assert_array_equal(dense, alg.cayley)
+
+
+class TestEGCLBatchedFastStorage:
+    """Fast mode on the batched (stacked-small-graph) task path stores the
+    gathered edge rows and message stream in bf16 and runs the one-hot
+    aggregation as one bf16 MXU pass — the result must stay within the
+    fast-mode error class of exact (forward only here: the gather VJP
+    dispatches to the Pallas kernel, which needs the TPU)."""
+
+    def test_fast_close_to_exact(self, monkeypatch):
+        from csmpn_tpu.ops import segment
+
+        rng = np.random.RandomState(33)
+        B, N = 2, 4
+        h = rand_mv((B * N, 3, 8), seed=34)
+        # per-graph sorted targets, stacked with +b*N offsets
+        ei_local = np.asarray([[1, 2, 0, 3], [0, 0, 1, 2]])
+        ei = np.concatenate(
+            [ei_local + b * N for b in range(B)], axis=1).astype(np.int32)
+        mask = jnp.asarray(rng.rand(ei.shape[1]) > 0.2)
+        m = EGCL(ALG3, 3, 4, 3)
+        params = m.init(jax.random.PRNGKey(35), h, jnp.asarray(ei))
+        exact = m.apply(params, h, jnp.asarray(ei), edge_mask=mask,
+                        batch_shape=(B, N, ei_local.shape[1]))
+        monkeypatch.setattr(segment, "_AGGREGATION_MODE", "fast")
+        monkeypatch.setattr(segment, "_on_tpu", lambda: True)
+        fast = m.apply(params, h, jnp.asarray(ei), edge_mask=mask,
+                       batch_shape=(B, N, ei_local.shape[1]))
+        assert fast.dtype == h.dtype
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(exact),
+                                   rtol=5e-2, atol=5e-2)

@@ -184,3 +184,56 @@ class TestOnehotGuard:
         np.testing.assert_allclose(np.asarray(via_onehot),
                                    np.asarray(via_sorted), rtol=1e-5,
                                    atol=1e-6)
+
+
+class TestBatchedOnehotFast:
+    """Fast mode feeds the membership matmul bf16 operands with f32
+    accumulation in BOTH directions (custom_vjp) — same error class as
+    the flat fast path's stream rounding (~1e-3 rel)."""
+
+    def _setup(self):
+        rng = np.random.RandomState(7)
+        B, N, E, D = 4, 12, 33, 8
+        dst_local = np.sort(rng.randint(0, N, size=(B, E)), axis=1)
+        dst = (dst_local + np.arange(B)[:, None] * N).reshape(-1)
+        x = rng.randn(B * E, D).astype(np.float32)
+        mask = rng.rand(B * E) > 0.2
+        return (B, N, E), jnp.asarray(x), \
+            jnp.asarray(dst.astype(np.int32)), jnp.asarray(mask)
+
+    @pytest.mark.parametrize("mean", [False, True])
+    def test_fast_close_to_exact(self, mean, monkeypatch):
+        from csmpn_tpu.ops import segment
+
+        shape, x, dst, mask = self._setup()
+        exact = _batched_onehot_agg(x, dst, shape, mask, mean)
+        monkeypatch.setattr(segment, "_AGGREGATION_MODE", "fast")
+        fast = _batched_onehot_agg(x, dst, shape, mask, mean)
+        assert fast.dtype == jnp.float32  # f32 accumulation/output
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(exact),
+                                   rtol=2e-2, atol=2e-2)
+
+    def test_fast_grad_close_to_exact(self, monkeypatch):
+        from csmpn_tpu.ops import segment
+
+        shape, x, dst, mask = self._setup()
+        w = jnp.asarray(np.random.RandomState(8).randn(
+            shape[0] * shape[1], x.shape[1]).astype(np.float32))
+
+        def loss(data):
+            out = _batched_onehot_agg(data, dst, shape, mask, True)
+            return jnp.sum(out * w)
+
+        g_exact = jax.grad(loss)(x)
+        monkeypatch.setattr(segment, "_AGGREGATION_MODE", "fast")
+        g_fast = jax.grad(loss)(x)
+        assert g_fast.dtype == x.dtype
+        np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_exact),
+                                   rtol=2e-2, atol=2e-2)
+
+    def test_exact_mode_unchanged_bitwise(self):
+        # the default (exact) mode must not be touched by the fast branch
+        shape, x, dst, mask = self._setup()
+        a = _batched_onehot_agg(x, dst, shape, mask, True)
+        b = _batched_onehot_agg(x, dst, shape, mask, True)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
