@@ -88,3 +88,47 @@ class TestTaskEntrypoints:
         rc = sweep_local(os.path.join(REPO, "configs", "hulls.yaml"),
                          dry_run=True)
         assert rc == 0
+
+    def test_hulls_checkpoint_restore_test_only(self, tmp_path):
+        """Train -> best-val orbax checkpoint -> a SECOND CLI invocation
+        with --trainer.test_only --trainer.checkpoint=<dir> restores and
+        runs only the test loop (the evidence-run resume/eval workflow)."""
+        import glob
+
+        hulls_args = [
+            "--dataset.module=csmpn_tpu.data.hulls.ConvexHullDataset",
+            "--dataset.num_samples=8", "--dataset.batch_size=4",
+            "--dataset.num_val_samples=4",
+            "--model.module=csmpn_tpu.models.hulls.HullsModel",
+            "--model.hidden_features=4", "--model.num_layers=1",
+        ]
+        out = run_task("csmpn_tpu.tasks.hulls", hulls_args, str(tmp_path))
+        assert "saved checkpoint" in out
+        # the run directory is the flag-derived name (hash-truncated at
+        # 96 chars — engineer/config.py get_run_name), so match any run
+        ckpts = glob.glob(os.path.join(
+            str(tmp_path), "runs", "*", "best_val_loss"))
+        assert ckpts, f"no orbax checkpoint written; out: {out[-1500:]}"
+
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["DATAROOT"] = str(tmp_path)
+        env["RUNDIR"] = os.path.join(str(tmp_path), "runs")
+        env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(REPO, ".jax_cache")
+        env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0"
+        env["JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES"] = "-1"
+        cmd = [
+            sys.executable, "-m", "csmpn_tpu.tasks.hulls",
+            "--run_name=ckpt_eval",
+            "--trainer.module=csmpn_tpu.engineer.Trainer",
+            "--trainer.max_steps=6", "--trainer.test_only=True",
+            f"--trainer.checkpoint={ckpts[0]}",
+            "--optimizer.module=csmpn_tpu.engineer.optim.adam",
+        ] + hulls_args
+        proc = subprocess.run(cmd, cwd=REPO, env=env, capture_output=True,
+                              text=True, timeout=540)
+        assert proc.returncode == 0, \
+            proc.stdout[-3000:] + proc.stderr[-3000:]
+        assert "Successfully restored state" in proc.stdout
+        assert "Testing mode." in proc.stdout
+        assert "test/loss" in proc.stdout
