@@ -231,6 +231,40 @@ class TestStreamingEGCL:
                                        rtol=5e-4, atol=1e-5)
 
 
+    def test_chunk_reduce_matches_full_output(self):
+        """``chunk_reduce`` (the carry-reduced streaming loss that keeps
+        the (N, C, nb) output off HBM in the >=10M-simplex run) must give
+        the same scalar and h-gradient as reducing the full output."""
+        from csmpn_tpu.parallel.edge_partition import (
+            partition_edges,
+            streaming_egcl_apply,
+        )
+
+        n_nodes = 18
+        ei = make_synthetic_complex(n_nodes, 3, seed=17)
+        rng = np.random.RandomState(4)
+        h = jnp.asarray(rng.randn(n_nodes, 2, 8), jnp.float32)
+        egcl = EGCL(ALG, 2, 3, 2, aggr="mean")
+        params = egcl.init(jax.random.PRNGKey(7), h, jnp.asarray(ei))
+        part = partition_edges(ei, n_nodes, 3)
+
+        def red(out):
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        def loss_full(hh):
+            return red(streaming_egcl_apply(egcl, params, hh, part))
+
+        def loss_reduced(hh):
+            return streaming_egcl_apply(egcl, params, hh, part,
+                                        chunk_reduce=red)
+
+        v_full, g_full = jax.value_and_grad(loss_full)(h)
+        v_red, g_red = jax.value_and_grad(loss_reduced)(h)
+        np.testing.assert_allclose(float(v_red), float(v_full), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(g_red), np.asarray(g_full),
+                                   rtol=5e-4, atol=1e-5)
+
+
 class TestPartitionedAttrs:
     """Conditioned task models edge-partitioned (VERDICT r2 next-round #6):
     edge_attr/node_attr threaded through the halo and streaming variants
