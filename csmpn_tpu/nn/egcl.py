@@ -164,13 +164,15 @@ class EGCL(nn.Module):
                 self.edge_model, h_s, h_j, ea_s, dst,
                 edge_mask=edge_mask, mean=(self.aggr == "mean"))
             return self.update(h, agg, node_attr)
-        # bf16 activation storage on the batched (stacked-small-graph)
-        # task path too: in fast mode on TPU the edge-row gathers, their
-        # scatter VJPs, and the message stream into the one-hot
-        # aggregation all move bf16 rows (the fused CEMLP kernel and the
-        # aggregation matmul round to bf16 internally anyway — this just
-        # halves the HBM traffic of moving the same values).  The update
-        # below still sees the f32 h for the residual.
+        # bf16 activation storage on every non-fused TPU path in fast
+        # mode — both the batched (stacked-small-graph) task path and the
+        # flat big-graph fallback (batch_shape=None, e.g. edges_sorted=
+        # False or algebras the fused kernel doesn't support): the
+        # edge-row gathers, their scatter VJPs, and the message stream
+        # into the aggregation all move bf16 rows (the fused CEMLP kernel
+        # and the aggregation matmul round to bf16 internally anyway —
+        # this just halves the HBM traffic of moving the same values).
+        # The update below still sees the f32 h for the residual.
         from ..ops.segment import _on_tpu, aggregation_exact
 
         if aggregation_exact() or not _on_tpu():

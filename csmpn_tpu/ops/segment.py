@@ -333,7 +333,8 @@ def _batched_onehot_agg(data: jnp.ndarray, segment_ids: jnp.ndarray,
         onehot = onehot * mask.reshape(b, 1, e).astype(jnp.float32)
     onehot = jax.lax.stop_gradient(onehot)  # non-diff (ids/mask)
     if aggregation_exact():
-        out = jnp.einsum("bne,bed->bnd", onehot.astype(data.dtype), data_b)
+        out = jnp.einsum("bne,bed->bnd", onehot.astype(data.dtype), data_b,
+                         precision=jax.lax.Precision.HIGHEST)
     else:
         out = _onehot_matmul_fast(onehot, data_b)
     if mean:

@@ -231,9 +231,25 @@ class TestBatchedOnehotFast:
         np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_exact),
                                    rtol=2e-2, atol=2e-2)
 
-    def test_exact_mode_unchanged_bitwise(self):
-        # the default (exact) mode must not be touched by the fast branch
+    def test_exact_mode_matches_numpy_oracle(self):
+        # the default (exact) mode must not be touched by the fast branch:
+        # compare against an INDEPENDENT numpy segment-mean oracle (not a
+        # second identical call, which could not detect a fast-branch
+        # regression leaking into exact mode).
         shape, x, dst, mask = self._setup()
-        a = _batched_onehot_agg(x, dst, shape, mask, True)
-        b = _batched_onehot_agg(x, dst, shape, mask, True)
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        out = np.asarray(_batched_onehot_agg(x, dst, shape, mask, True))
+        b, n, e = shape
+        x_np = np.asarray(x)
+        dst_np = np.asarray(dst)
+        mask_np = np.asarray(mask)
+        ref = np.zeros((b * n, x_np.shape[1]), np.float64)
+        cnt = np.zeros(b * n, np.float64)
+        for i in range(b * e):
+            if mask_np[i]:
+                ref[dst_np[i]] += x_np[i]
+                cnt[dst_np[i]] += 1.0
+        ref /= np.maximum(cnt, 1.0)[:, None]
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+        # determinism of the exact path
+        again = np.asarray(_batched_onehot_agg(x, dst, shape, mask, True))
+        np.testing.assert_array_equal(out, again)

@@ -27,6 +27,7 @@ def summarize(path: str) -> dict:
     s_its: list = []
     last_step = 0
     pending_best = False
+    pending_val_best = False
     with open(path, errors="replace") as f:
         for line in f:
             line = line.rstrip("\n")
@@ -43,9 +44,15 @@ def summarize(path: str) -> dict:
                 s_its.append(val)
             if sec == "val" and key == "loss":
                 if val < best_val.get("loss", float("inf")):
-                    best_val = dict(last["val"])
-                    best_val["loss"] = val
-                    pending_best = True
+                    pending_val_best = True
+            if sec == "val" and key == "s_it" and pending_val_best:
+                # s_it is the last metric the trainer appends to a val
+                # block; snapshotting here (not at the loss line) keeps
+                # metrics printed after loss from carrying stale values
+                # from the previous block.
+                best_val = dict(last["val"])
+                pending_val_best = False
+                pending_best = True
             if sec == "test" and key == "s_it" and pending_best:
                 # end of the test block that followed the improvement
                 test_at_best = dict(last["test"])
