@@ -24,6 +24,100 @@ import time
 import numpy as np
 
 
+def run_sharded_streaming(args):
+    """Sharded-streaming run (BASELINE.json configs[4] as written): the
+    complex is sharded over an N-device mesh (halo exchange per layer) AND
+    each device lax.scans its own contiguous chunk slabs (--stream chunks
+    per device), fwd (+bwd unless --fwd-only) with a carry-reduced loss.
+    On this container the mesh is virtual-CPU; on real hardware the same
+    code runs over ICI."""
+    import jax
+    import jax.numpy as jnp
+
+    from csmpn_tpu.algebra import get_algebra
+    from csmpn_tpu.nn.egcl import EGCL
+    from csmpn_tpu.ops.segment import set_aggregation_mode
+    from csmpn_tpu.parallel.edge_partition import (
+        make_synthetic_complex,
+        partition_edges_halo_stream,
+        sharded_streaming_egcl_apply,
+    )
+    from csmpn_tpu.parallel.mesh import make_mesh
+
+    precision = args.precision or "fast"
+    set_aggregation_mode(precision)
+    fast = precision == "fast"
+    n_dev = args.devices or len(jax.devices())
+    n_chunks = args.stream
+    n_nodes = (args.simplices // (n_dev * n_chunks)) * n_dev * n_chunks
+    alg = get_algebra((1.0, 1.0, 1.0))
+    print(f"# sharded streaming: {n_nodes} simplices, "
+          f"~{n_nodes * args.degree} edges, {n_dev} devices x "
+          f"{n_chunks} chunks, precision={precision}", flush=True)
+    ei = make_synthetic_complex(n_nodes, args.degree, seed=0,
+                                locality=args.locality or None)
+    n_edges = ei.shape[1]
+    t_part = time.perf_counter()
+    part = partition_edges_halo_stream(ei, n_nodes, n_dev, n_chunks)
+    print(f"# partition built in {time.perf_counter() - t_part:.1f}s: "
+          f"e_chunk={part.e_chunk} h_max={part.h_max} "
+          f"halo_rows={int(part.send_mask.sum())}", flush=True)
+    mesh = make_mesh(n_dev)
+    hh = np.random.default_rng(0).standard_normal(
+        (n_nodes, args.hidden, 8), dtype=np.float32)
+    h_dt = jnp.bfloat16 if fast else jnp.float32
+    h = jnp.asarray(hh, dtype=h_dt)
+    del hh
+    egcl = EGCL(alg, args.hidden, args.hidden, args.hidden, aggr="mean")
+    params = egcl.init(jax.random.PRNGKey(0),
+                       h[:128].astype(jnp.float32),
+                       jnp.asarray(ei[:, :128] % 128))
+    arrs = (jnp.asarray(part.edge_index), jnp.asarray(part.edge_mask),
+            jnp.asarray(part.send_idx), jnp.asarray(part.send_mask))
+    n_elems = float(n_nodes) * args.hidden * 8
+
+    def reduce(out):
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    def loss(p, h, *arrs):
+        return sharded_streaming_egcl_apply(
+            egcl, p, h, part, mesh, arrays=arrs,
+            chunk_reduce=reduce) / n_elems
+
+    if args.fwd_only:
+        run = loss
+    else:
+        def run(p, h, *arrs):
+            g = jax.grad(loss)(p, h, *arrs)
+            return jax.tree.leaves(g)[0].ravel()[0]
+
+    fn = jax.jit(run)
+    _ = float(fn(params, h, *arrs))  # compile + sync
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        s = fn(params, h, *arrs)
+    _ = float(s)
+    dt = (time.perf_counter() - t0) / args.steps
+    feat_bytes = args.hidden * 8 * (2 if fast else 4)
+    sent_rows = int(part.send_mask.sum())
+    padded_rows = part.n_shards * part.n_shards * part.h_max
+    print(json.dumps({
+        "metric": "sharded_streaming_edges_per_s",
+        "simplices": n_nodes,
+        "edges": n_edges,
+        "devices": n_dev,
+        "chunks_per_device": n_chunks,
+        "precision": precision,
+        "mode": "fwd" if args.fwd_only else "fwd+bwd",
+        "value": round(n_edges / dt, 1),
+        "unit": "edges/s",
+        "halo_rows": sent_rows,
+        "halo_rows_padded": padded_rows,
+        "halo_mb_per_layer": round(padded_rows * feat_bytes / 1e6, 2),
+        "allgather_rows_equiv": (n_dev - 1) * n_nodes,
+    }), flush=True)
+
+
 def run_streaming(args):
     """Single-device chunked run for complexes whose edge messages exceed
     HBM (the >=10M-simplex workload at mesh=1): lax.scan over --stream
@@ -167,6 +261,8 @@ def main():
     )
     from csmpn_tpu.parallel.mesh import make_mesh
 
+    if args.stream and (args.devices or len(jax.devices())) > 1:
+        return run_sharded_streaming(args)
     if args.stream:
         return run_streaming(args)
 

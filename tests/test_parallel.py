@@ -358,3 +358,131 @@ class TestPartitionedAttrs:
         for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_str)):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        rtol=5e-4, atol=1e-5)
+
+
+class TestShardedStreaming:
+    """Two-level partition (device halo x chunk streaming) — the
+    BASELINE.json configs[4] composition (>=10M-simplex complex sharded
+    over N>=2 devices, each streaming its shard): must reproduce the
+    monolithic EGCL forward, gradients, and carry-reduced loss."""
+
+    def test_partition_structure(self):
+        from csmpn_tpu.parallel.edge_partition import (
+            partition_edges_halo_stream,
+        )
+
+        ei = make_synthetic_complex(32, 4, seed=31)
+        part = partition_edges_halo_stream(ei, 32, 4, 2)
+        assert part.n_shards == 4 and part.n_chunks == 2
+        assert part.nodes_per_shard == 8 and part.nodes_per_chunk == 4
+        edges = part.edge_index.reshape(4, 2, part.e_chunk, 2)
+        mask = part.edge_mask.reshape(4, 2, part.e_chunk)
+        total = 0
+        for s in range(4):
+            for c in range(2):
+                real_dst = edges[s, c][mask[s, c]][:, 1]
+                # chunk owns device-local targets [c*ncs, (c+1)*ncs)
+                assert ((real_dst // 4) == c).all()
+                # targets ascending within the chunk slab (incl. padding)
+                assert (np.diff(edges[s, c][:, 1]) >= 0).all()
+                total += mask[s, c].sum()
+        assert total == ei.shape[1]
+
+    def test_matches_monolithic(self, mesh):
+        from csmpn_tpu.parallel.edge_partition import (
+            partition_edges_halo_stream,
+            sharded_streaming_egcl_apply,
+        )
+
+        n_nodes = 32
+        ei = make_synthetic_complex(n_nodes, 4, seed=33)
+        rng = np.random.RandomState(5)
+        h = jnp.asarray(rng.randn(n_nodes, 3, 8), jnp.float32)
+        egcl = EGCL(ALG, 3, 4, 3, aggr="mean")
+        params = egcl.init(jax.random.PRNGKey(8), h, jnp.asarray(ei))
+        ref = egcl.apply(params, h, jnp.asarray(ei))
+        part = partition_edges_halo_stream(ei, n_nodes, 4, 2)
+        for remat in (True, False):
+            out = sharded_streaming_egcl_apply(egcl, params, h, part, mesh,
+                                               remat=remat)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=2e-4, atol=2e-5)
+
+    def test_grad_matches(self, mesh):
+        from csmpn_tpu.parallel.edge_partition import (
+            partition_edges_halo_stream,
+            sharded_streaming_egcl_apply,
+        )
+
+        n_nodes = 16
+        ei = make_synthetic_complex(n_nodes, 3, seed=34)
+        rng = np.random.RandomState(6)
+        h = jnp.asarray(rng.randn(n_nodes, 2, 8), jnp.float32)
+        egcl = EGCL(ALG, 2, 3, 2, aggr="sum")
+        params = egcl.init(jax.random.PRNGKey(9), h, jnp.asarray(ei))
+        part = partition_edges_halo_stream(ei, n_nodes, 4, 2)
+        g_ref = jax.grad(lambda p: jnp.mean(
+            egcl.apply(p, h, jnp.asarray(ei)) ** 2))(params)
+        g_ss = jax.grad(lambda p: jnp.mean(
+            sharded_streaming_egcl_apply(egcl, p, h, part, mesh) ** 2))(
+                params)
+        for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_ss)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=5e-4, atol=1e-5)
+
+    def test_chunk_reduce_matches_full_output(self, mesh):
+        from csmpn_tpu.parallel.edge_partition import (
+            partition_edges_halo_stream,
+            sharded_streaming_egcl_apply,
+        )
+
+        n_nodes = 24
+        ei = make_synthetic_complex(n_nodes, 3, seed=35)
+        rng = np.random.RandomState(7)
+        h = jnp.asarray(rng.randn(n_nodes, 2, 8), jnp.float32)
+        egcl = EGCL(ALG, 2, 3, 2, aggr="mean")
+        params = egcl.init(jax.random.PRNGKey(10), h, jnp.asarray(ei))
+        part = partition_edges_halo_stream(ei, n_nodes, 4, 3)
+
+        def red(out):
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        def loss_full(hh):
+            return red(sharded_streaming_egcl_apply(egcl, params, hh, part,
+                                                    mesh))
+
+        def loss_reduced(hh):
+            return sharded_streaming_egcl_apply(egcl, params, hh, part,
+                                                mesh, chunk_reduce=red)
+
+        v_full, g_full = jax.value_and_grad(loss_full)(h)
+        v_red, g_red = jax.value_and_grad(loss_reduced)(h)
+        np.testing.assert_allclose(float(v_red), float(v_full), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(g_red), np.asarray(g_full),
+                                   rtol=5e-4, atol=1e-5)
+
+    def test_with_attrs_matches(self, mesh):
+        from csmpn_tpu.parallel.edge_partition import (
+            make_synthetic_complex,
+            partition_edges_halo_stream,
+            permute_edge_payload,
+            sharded_streaming_egcl_apply,
+        )
+
+        n_nodes = 32
+        ei = make_synthetic_complex(n_nodes, 4, seed=36)
+        rng = np.random.RandomState(36)
+        h = jnp.asarray(rng.randn(n_nodes, 3, 8), jnp.float32)
+        ea = jnp.asarray(rng.randn(ei.shape[1], 2, 8), jnp.float32)
+        na = jnp.asarray(rng.randn(n_nodes, 1, 8), jnp.float32)
+        egcl = EGCL(ALG, 3, 4, 3, edge_attr_features=2,
+                    node_attr_features=1, aggr="mean")
+        params = egcl.init(jax.random.PRNGKey(36), h, jnp.asarray(ei),
+                           ea, na)
+        ref = egcl.apply(params, h, jnp.asarray(ei), ea, na)
+        part = partition_edges_halo_stream(ei, n_nodes, 4, 2)
+        ea_slab = jnp.asarray(permute_edge_payload(part, ea))
+        out = sharded_streaming_egcl_apply(egcl, params, h, part, mesh,
+                                           node_attr=na, edge_attr=ea_slab)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-5)
