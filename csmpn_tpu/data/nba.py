@@ -66,13 +66,25 @@ def preprocess_raw(data_dir: str, mode: str = "atk",
 def _synthesize_raw(data_dir: str, seed: int = 3, plays: int = 40,
                     seq_len: int = SEQ_LEN) -> None:
     """Seeded stand-in all_data.npy: (plays, seq_len, 11, 4), x in
-    [45, 90], smooth player drift (the SportVU column layout)."""
+    [45, 90] (the SportVU column layout).
+
+    Motion is an AR(1) velocity process (momentum 0.9) rather than a pure
+    random walk: future positions are then predictable from the observed
+    frames, so the forecasting task is LEARNABLE and train/val metrics are
+    comparable — a pure random walk makes every future step independent
+    noise and the only achievable train/val gap is memorization (the
+    degenerate r4 outcome on the 800-play stand-in)."""
     rng = np.random.RandomState(seed)
     start = np.empty((plays, 1, 11, 4), dtype=np.float64)
     start[..., 0] = 45.0 + 45.0 * rng.rand(plays, 1, 11)
     start[..., 1] = 50.0 * rng.rand(plays, 1, 11)
     start[..., 2:] = rng.rand(plays, 1, 11, 2)
-    steps = 0.25 * rng.randn(plays, seq_len, 11, 4)
+    vel = 0.5 * rng.randn(plays, 1, 11, 4)
+    noise = 0.08 * rng.randn(plays, seq_len, 11, 4)
+    steps = np.empty_like(noise)
+    for t in range(seq_len):
+        vel = 0.9 * vel + noise[:, t:t + 1]
+        steps[:, t:t + 1] = vel
     steps[..., 2:] = 0.0
     data = (start + np.cumsum(steps, axis=1)).astype(np.float32)
     os.makedirs(data_dir, exist_ok=True)
