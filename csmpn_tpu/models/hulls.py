@@ -76,6 +76,7 @@ class HullsModel(nn.Module):
                 residual=self.residual,
                 normalization_init=self.normalization_init,
                 aggr=self.aggr, name=f"egcl_{i}",
+                bf16_out=(i + 1 < self.num_layers),
             )(x, ei_flat, edge_attr, node_attr, edge_mask=edge_mask,
                batch_shape=(B, N, batch.edge_index.shape[1]),
                src_sort=src_sort)

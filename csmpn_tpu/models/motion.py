@@ -72,6 +72,7 @@ class MotionModel(nn.Module):
                 edge_attr_features=2 * num_types,
                 node_attr_features=num_types,
                 aggr="mean", normalization_init=0.0, name=f"egcl_{i}",
+                bf16_out=(i + 1 < self.num_layers),
             )(x, ei_flat, edge_attr, node_attr, edge_mask=edge_mask,
                batch_shape=(B, N, batch.edge_index.shape[1]),
                src_sort=src_sort)

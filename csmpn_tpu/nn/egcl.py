@@ -48,6 +48,12 @@ class EGCL(nn.Module):
     # None = auto: fused whole-block CEMLP Pallas kernel on TPU for
     # small-blade algebras (ops/cemlp_kernel.py)
     fused_mlp: Optional[bool] = None
+    # bf16 INTER-LAYER hand-off (NOTES backlog #6 leftover): in TPU fast
+    # mode return the updated node features as bf16 so the next layer's
+    # gathers/residual read bf16 N-rows instead of f32 (task models set
+    # this on every layer but the last, keeping the readout f32).  Exact
+    # mode ignores it.
+    bf16_out: bool = False
 
     def setup(self):
         self.edge_model = CEMLP(
@@ -163,7 +169,7 @@ class EGCL(nn.Module):
             agg = fused_message_aggregate(
                 self.edge_model, h_s, h_j, ea_s, dst,
                 edge_mask=edge_mask, mean=(self.aggr == "mean"))
-            return self.update(h, agg, node_attr)
+            return self._finish(self.update(h, agg, node_attr))
         # bf16 activation storage on every non-fused TPU path in fast
         # mode — both the batched (stacked-small-graph) task path and the
         # flat big-graph fallback (batch_shape=None, e.g. edges_sorted=
@@ -193,4 +199,12 @@ class EGCL(nn.Module):
         agg = self.aggregate(msg, dst, num_nodes, edge_mask,
                              batch_shape=batch_shape)
         agg = agg.astype(h.dtype)
-        return self.update(h, agg, node_attr)
+        return self._finish(self.update(h, agg, node_attr))
+
+    def _finish(self, out: jnp.ndarray) -> jnp.ndarray:
+        """bf16 inter-layer hand-off (see ``bf16_out``)."""
+        from ..ops.segment import _on_tpu, aggregation_exact
+
+        if self.bf16_out and not aggregation_exact() and _on_tpu():
+            return out.astype(jnp.bfloat16)
+        return out
