@@ -221,6 +221,9 @@ def main():
                     help="source window around the target (0 = fully random); real lifted complexes are local after sorting")
     ap.add_argument("--hidden", type=int, default=32)
     ap.add_argument("--devices", type=int, default=0)
+    ap.add_argument("--mesh-list", type=str, default="",
+                    help="comma-separated mesh sizes for the sweep "
+                         "(default: every divisor size 1..devices)")
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--fwd-only", action="store_true")
     ap.add_argument("--exchange", choices=["halo", "allgather"],
@@ -288,8 +291,10 @@ def main():
                        jnp.asarray(h_host[:128]),
                        jnp.asarray(ei[:, :128] % 128))
 
+    mesh_sizes = ([int(x) for x in args.mesh_list.split(",") if x]
+                  if args.mesh_list else list(range(1, n_devices + 1)))
     rates = {}
-    for n in range(1, n_devices + 1):
+    for n in mesh_sizes:
         if n_nodes % n != 0:
             continue
         mesh = make_mesh(n)
