@@ -83,8 +83,24 @@ def _dot_t(a, b, exact: bool):
 # forward kernel
 # ===================================================================
 
+import os
+
+
+def _onehot_bands() -> int:
+    """Static band count for the one-hot window matmuls (NOTES backlog #3
+    'unique-segment compaction', banded form): the (wn, te) one-hot
+    gather/reduce matmuls are split into wn/kb fixed ALIGNED row bands and
+    bands with no ids in the chunk are skipped (ids are sorted, so a
+    te-edge chunk typically spans ~te/degree consecutive targets = 1-2
+    bands at wn=128/4 bands).  This cuts the one-hot MAC inflation by the
+    untouched-band fraction with STATIC slices only (no dynamic-offset
+    Mosaic risk) and degenerates to the original single full-width matmul
+    at 1."""
+    return int(os.environ.get("CSMPN_ONEHOT_BANDS", "1"))
+
+
 def _make_fwd_kernel(nb: int, exact: bool, wn: int, te: int,
-                     has_attr: bool):
+                     has_attr: bool, n_bands: int = 1, sent: int = 0):
     n_t = 10  # per-block table count (W, b, M, gb, Wr, sa, Kcat, WL, bL, aln)
 
     def kernel(*args):
@@ -165,22 +181,55 @@ def _make_fwd_kernel(nb: int, exact: bool, wn: int, te: int,
                                       sems.at[slot, 2]).wait()
 
             ids = ids_s[slot]                           # (1, TE) int32
-            rows = jax.lax.broadcasted_iota(jnp.int32, (wn, te), 0)
             # one-hot edge->window-row membership; rows outside this
             # block's id window (chunk-alignment overlap, masked edges,
-            # stream padding) match nothing and are dropped exactly
-            oh = jnp.where(ids - base == rows, 1.0, 0.0)  # (wn, te) f32
-            # target gather: one nonzero per edge column.  Exact mode
-            # keeps a bit-exact f32 selection; fast mode rounds the
-            # node window to bf16 (one MXU pass) — the same rounding
-            # class the hj stream already carries.
+            # stream padding) match nothing and are dropped exactly.
+            # Banded form (n_bands > 1): the window rows are split into
+            # fixed kb-row bands; ids are sorted, so a chunk touches few
+            # bands and the rest skip their matmuls (_onehot_bands).
+            # Exact mode keeps a bit-exact f32 selection; fast mode
+            # rounds the node window to bf16 (one MXU pass) — the same
+            # rounding class the hj stream already carries.
             gather_dt = jnp.float32 if exact else jnp.bfloat16
-            h_i = jax.lax.dot_general(
-                oh.astype(gather_dt), window.astype(gather_dt),
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=(jax.lax.Precision.HIGHEST if exact
-                           else jax.lax.Precision.DEFAULT))  # (te, Ln_p)
+            gprec = (jax.lax.Precision.HIGHEST if exact
+                     else jax.lax.Precision.DEFAULT)
+            kb = wn // n_bands
+            # min/max over VALID ids only: masked edges carry the
+            # sentinel (N_p + wn) and may be interspersed, so the chunk
+            # endpoints are not reliable band bounds
+            id_lo = jnp.min(ids)
+            id_hi = jnp.max(jnp.where(ids < jnp.int32(sent), ids, -1))
+
+            def band_hit(j):
+                lo = base + j * kb
+                return (id_lo < lo + kb) & (id_hi >= lo)
+
+            def band_oh(j):
+                rows = jax.lax.broadcasted_iota(
+                    jnp.int32, (kb, te), 0) + (base + j * kb)
+                return jnp.where(ids == rows, 1.0, 0.0)   # (kb, te) f32
+
+            if n_bands == 1:
+                oh_bands = [band_oh(0)]
+                h_i = jax.lax.dot_general(
+                    oh_bands[0].astype(gather_dt), window.astype(gather_dt),
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=gprec)                      # (te, Ln_p)
+            else:
+                oh_bands = [band_oh(j) for j in range(n_bands)]
+                h_i = jnp.zeros((te, window.shape[1]), jnp.float32)
+                for j in range(n_bands):
+                    win_j = window[j * kb:(j + 1) * kb, :]
+                    h_i = h_i + jax.lax.cond(
+                        band_hit(j),
+                        lambda oj=oh_bands[j], wj=win_j: jax.lax.dot_general(
+                            oj.astype(gather_dt), wj.astype(gather_dt),
+                            (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=gprec),
+                        lambda: jnp.zeros((te, window.shape[1]),
+                                          jnp.float32))
             msg = h_i - hj_s[slot].astype(jnp.float32)
             y1 = _dot(msg, W1h, exact) + b1
             if has_attr:
@@ -190,13 +239,24 @@ def _make_fwd_kernel(nb: int, exact: bool, wn: int, te: int,
             y2 = _dot(f1["out"], W2, exact) + b2
             f2 = _post_linear_math(y2, refs2, nb, exact)
             # segment reduce on the MXU (bf16 stream in fast mode, like
-            # ops/pallas_segment.py)
+            # ops/pallas_segment.py); banded: each hit band accumulates
+            # its kb-row slice with a STATIC offset
             red_dt = jnp.float32 if exact else jnp.bfloat16
             prec = (jax.lax.Precision.HIGHEST if exact
                     else jax.lax.Precision.DEFAULT)
-            out_ref[:] += jnp.dot(
-                oh.astype(red_dt), f2["out"].astype(red_dt),
-                preferred_element_type=jnp.float32, precision=prec)
+            f2s = f2["out"].astype(red_dt)
+            if n_bands == 1:
+                out_ref[:] += jnp.dot(
+                    oh_bands[0].astype(red_dt), f2s,
+                    preferred_element_type=jnp.float32, precision=prec)
+            else:
+                for j in range(n_bands):
+                    @pl.when(band_hit(j))
+                    def _(j=j):
+                        out_ref[j * kb:(j + 1) * kb, :] += jnp.dot(
+                            oh_bands[j].astype(red_dt), f2s,
+                            preferred_element_type=jnp.float32,
+                            precision=prec)
             return 0
 
         jax.lax.fori_loop(0, n_chunks, body, 0)
@@ -277,7 +337,9 @@ def _mp_forward(meta, consts, interpret, h, hj, attr, ids_oh, dst, bounds,
                                memory_space=pltpu.VMEM),
         scratch_shapes=scratch,
     )
-    kernel = _make_fwd_kernel(nb, exact, wn, te, has_attr)
+    kernel = _make_fwd_kernel(nb, exact, wn, te, has_attr,
+                              n_bands=_onehot_bands(),
+                              sent=int(N_p + wn))
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -341,7 +403,7 @@ def _fused_mp_fwd(meta, consts, interpret, h, hj, attr, ids_oh, dst,
 # -------------------------------------------------------------------
 
 def _make_bwd_kernel(nb: int, exact: bool, wn: int, te: int,
-                     has_attr: bool):
+                     has_attr: bool, n_bands: int = 1, sent: int = 0):
     n_t = 10
     # per-edge cotangents stream back at the activation-storage dtype
     # (bf16 in fast mode — their consumers re-round to bf16 anyway)
@@ -455,15 +517,50 @@ def _make_bwd_kernel(nb: int, exact: bool, wn: int, te: int,
                                       sems.at[slot, 2]).wait()
 
             ids = ids_s[slot]                           # (1, TE) int32
-            rows = jax.lax.broadcasted_iota(jnp.int32, (wn, te), 0)
-            oh = jnp.where(ids - base == rows, 1.0, 0.0)  # (wn, te) f32
             gather_dt = jnp.float32 if exact else jnp.bfloat16
             gprec = (jax.lax.Precision.HIGHEST if exact
                      else jax.lax.Precision.DEFAULT)
-            h_i = jax.lax.dot_general(
-                oh.astype(gather_dt), window.astype(gather_dt),
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=gprec)
+            # banded one-hot (see _make_fwd_kernel / _onehot_bands)
+            kb = wn // n_bands
+            # min/max over VALID ids only: masked edges carry the
+            # sentinel (N_p + wn) and may be interspersed, so the chunk
+            # endpoints are not reliable band bounds
+            id_lo = jnp.min(ids)
+            id_hi = jnp.max(jnp.where(ids < jnp.int32(sent), ids, -1))
+
+            def band_hit(j):
+                lo = base + j * kb
+                return (id_lo < lo + kb) & (id_hi >= lo)
+
+            def band_oh(j):
+                rows = jax.lax.broadcasted_iota(
+                    jnp.int32, (kb, te), 0) + (base + j * kb)
+                return jnp.where(ids == rows, 1.0, 0.0)   # (kb, te) f32
+
+            def band_gather(src_w):
+                if n_bands == 1:
+                    return jax.lax.dot_general(
+                        oh_bands[0].astype(gather_dt),
+                        src_w.astype(gather_dt),
+                        (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=gprec)
+                acc = jnp.zeros((te, src_w.shape[1]), jnp.float32)
+                for j in range(n_bands):
+                    sw = src_w[j * kb:(j + 1) * kb, :]
+                    acc = acc + jax.lax.cond(
+                        band_hit(j),
+                        lambda oj=oh_bands[j], s=sw: jax.lax.dot_general(
+                            oj.astype(gather_dt), s.astype(gather_dt),
+                            (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=gprec),
+                        lambda s=sw: jnp.zeros((te, s.shape[1]),
+                                               jnp.float32))
+                return acc
+
+            oh_bands = [band_oh(j) for j in range(n_bands)]
+            h_i = band_gather(window)
             # ---- forward recompute (identical math to the fwd kernel)
             msg = h_i - hj_s[slot].astype(jnp.float32)
             attr_c = (attr_s[slot].astype(jnp.float32) if has_attr
@@ -476,10 +573,7 @@ def _make_bwd_kernel(nb: int, exact: bool, wn: int, te: int,
             y2 = _dot(x2, W2, exact) + b2
             f2 = _post_linear_math(y2, refs2, nb, exact)
             # ---- output cotangent gathered from the resident block
-            dagg_e = jax.lax.dot_general(
-                oh.astype(gather_dt), dagg_w.astype(gather_dt),
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=gprec)
+            dagg_e = band_gather(dagg_w)
             # ---- block 2 backward
             dy2, tg2 = _post_linear_bwd(dagg_e, f2, refs2, nb, exact)
             dx2 = _dot_nt(dy2, W2, exact)
@@ -499,7 +593,14 @@ def _make_bwd_kernel(nb: int, exact: bool, wn: int, te: int,
                 dattr_c = _dot_nt(dy1, W1a, exact)
                 gw1a_ref[:] += _dot_t2(attr_c, dy1, exact)
             # ---- target-side cotangent into the resident node block
-            dh_ref[:] += _dot(oh, dmsg, exact)
+            if n_bands == 1:
+                dh_ref[:] += _dot(oh_bands[0], dmsg, exact)
+            else:
+                for j in range(n_bands):
+                    @pl.when(band_hit(j))
+                    def _(j=j):
+                        dh_ref[j * kb:(j + 1) * kb, :] += _dot(
+                            oh_bands[j], dmsg, exact)
             # ---- per-edge cotangent stream out (RMW on an overlapped
             # first chunk; serialized write keeps RMW reads ordered)
             wmsg_s[:] = (-dmsg).astype(stream_dt)
@@ -628,7 +729,9 @@ def _mp_backward(meta, consts, interpret, h, hj, attr, ids_oh, bounds,
         out_specs=tuple(out_specs),
         scratch_shapes=scratch,
     )
-    kernel = _make_bwd_kernel(nb, exact, wn, te, has_attr)
+    kernel = _make_bwd_kernel(nb, exact, wn, te, has_attr,
+                              n_bands=_onehot_bands(),
+                              sent=int(N_p + wn))
     tables_bytes = sum(int(np.prod(o.shape)) * 4
                        for o in ops1 + opsa + ops2 + opsc)
     outs = pl.pallas_call(
