@@ -79,7 +79,11 @@ def _jax_bench(steps=STEPS):
         @nn.compact
         def __call__(self, h, ei):
             for i in range(LAYERS):
+                # bf16 inter-layer hand-off on all but the last layer —
+                # the shipped task-model configuration (nn/egcl.py
+                # bf16_out)
                 h = EGCL(alg, HIDDEN, HIDDEN, HIDDEN, aggr="mean",
+                         bf16_out=(i + 1 < LAYERS),
                          name=f"egcl_{i}")(h, ei, src_sort=src_sort)
             return h
 
