@@ -39,8 +39,10 @@ def run_sharded_streaming(args):
     from csmpn_tpu.ops.segment import set_aggregation_mode
     from csmpn_tpu.parallel.edge_partition import (
         make_synthetic_complex,
+        partition_edges,
         partition_edges_halo_stream,
         sharded_streaming_egcl_apply,
+        sharded_streaming_egcl_apply_allgather,
     )
     from csmpn_tpu.parallel.mesh import make_mesh
 
@@ -51,17 +53,23 @@ def run_sharded_streaming(args):
     n_chunks = args.stream
     n_nodes = (args.simplices // (n_dev * n_chunks)) * n_dev * n_chunks
     alg = get_algebra((1.0, 1.0, 1.0))
-    print(f"# sharded streaming: {n_nodes} simplices, "
+    halo = args.exchange == "halo"
+    print(f"# sharded streaming ({args.exchange}): {n_nodes} simplices, "
           f"~{n_nodes * args.degree} edges, {n_dev} devices x "
           f"{n_chunks} chunks, precision={precision}", flush=True)
     ei = make_synthetic_complex(n_nodes, args.degree, seed=0,
                                 locality=args.locality or None)
     n_edges = ei.shape[1]
     t_part = time.perf_counter()
-    part = partition_edges_halo_stream(ei, n_nodes, n_dev, n_chunks)
-    print(f"# partition built in {time.perf_counter() - t_part:.1f}s: "
-          f"e_chunk={part.e_chunk} h_max={part.h_max} "
-          f"halo_rows={int(part.send_mask.sum())}", flush=True)
+    if halo:
+        part = partition_edges_halo_stream(ei, n_nodes, n_dev, n_chunks)
+        print(f"# partition built in {time.perf_counter() - t_part:.1f}s: "
+              f"e_chunk={part.e_chunk} h_max={part.h_max} "
+              f"halo_rows={int(part.send_mask.sum())}", flush=True)
+    else:
+        part = partition_edges(ei, n_nodes, n_dev * n_chunks)
+        print(f"# partition built in {time.perf_counter() - t_part:.1f}s: "
+              f"e_chunk={part.e_shard}", flush=True)
     mesh = make_mesh(n_dev)
     hh = np.random.default_rng(0).standard_normal(
         (n_nodes, args.hidden, 8), dtype=np.float32)
@@ -72,17 +80,26 @@ def run_sharded_streaming(args):
     params = egcl.init(jax.random.PRNGKey(0),
                        h[:128].astype(jnp.float32),
                        jnp.asarray(ei[:, :128] % 128))
-    arrs = (jnp.asarray(part.edge_index), jnp.asarray(part.edge_mask),
-            jnp.asarray(part.send_idx), jnp.asarray(part.send_mask))
+    if halo:
+        arrs = (jnp.asarray(part.edge_index), jnp.asarray(part.edge_mask),
+                jnp.asarray(part.send_idx), jnp.asarray(part.send_mask))
+    else:
+        arrs = (jnp.asarray(part.edge_index), jnp.asarray(part.edge_mask))
     n_elems = float(n_nodes) * args.hidden * 8
 
     def reduce(out):
         return jnp.sum(out.astype(jnp.float32) ** 2)
 
-    def loss(p, h, *arrs):
-        return sharded_streaming_egcl_apply(
-            egcl, p, h, part, mesh, arrays=arrs,
-            chunk_reduce=reduce) / n_elems
+    if halo:
+        def loss(p, h, *arrs):
+            return sharded_streaming_egcl_apply(
+                egcl, p, h, part, mesh, arrays=arrs,
+                chunk_reduce=reduce) / n_elems
+    else:
+        def loss(p, h, *arrs):
+            return sharded_streaming_egcl_apply_allgather(
+                egcl, p, h, part, mesh, n_dev, arrays=arrs,
+                chunk_reduce=reduce) / n_elems
 
     if args.fwd_only:
         run = loss
@@ -99,10 +116,14 @@ def run_sharded_streaming(args):
     _ = float(s)
     dt = (time.perf_counter() - t0) / args.steps
     feat_bytes = args.hidden * 8 * (2 if fast else 4)
-    sent_rows = int(part.send_mask.sum())
-    padded_rows = part.n_shards * part.n_shards * part.h_max
+    if halo:
+        sent_rows = int(part.send_mask.sum())
+        padded_rows = part.n_shards * part.n_shards * part.h_max
+    else:
+        sent_rows = padded_rows = (n_dev - 1) * n_nodes
     print(json.dumps({
         "metric": "sharded_streaming_edges_per_s",
+        "exchange": args.exchange,
         "simplices": n_nodes,
         "edges": n_edges,
         "devices": n_dev,
@@ -111,9 +132,9 @@ def run_sharded_streaming(args):
         "mode": "fwd" if args.fwd_only else "fwd+bwd",
         "value": round(n_edges / dt, 1),
         "unit": "edges/s",
-        "halo_rows": sent_rows,
-        "halo_rows_padded": padded_rows,
-        "halo_mb_per_layer": round(padded_rows * feat_bytes / 1e6, 2),
+        "comm_rows": sent_rows,
+        "comm_rows_padded": padded_rows,
+        "comm_mb_per_layer": round(padded_rows * feat_bytes / 1e6, 2),
         "allgather_rows_equiv": (n_dev - 1) * n_nodes,
     }), flush=True)
 

@@ -607,6 +607,108 @@ def sharded_streaming_egcl_apply(
     return fn(*args)
 
 
+def sharded_streaming_egcl_apply_allgather(
+    egcl: EGCL,
+    params,
+    h: jnp.ndarray,                 # (N, C, nb) node features (global)
+    part: EdgePartition,            # built with n_shards = n_dev * n_chunks
+    mesh: Mesh,
+    n_devices: int,
+    axis: str = "data",
+    node_attr: Optional[jnp.ndarray] = None,
+    edge_attr: Optional[jnp.ndarray] = None,  # slab order
+    arrays=None,                    # optional (edge_index, edge_mask)
+    remat: bool = True,
+    chunk_reduce=None,
+):
+    """All-gather counterpart of ``sharded_streaming_egcl_apply`` (the
+    baseline the halo exchange is measured against): each device
+    all_gathers the FULL node-feature array once per layer, then scans its
+    chunk slabs with GLOBAL source ids.  Reuses ``partition_edges`` with
+    ``n_shards = n_devices * n_chunks`` — device d owns chunk slabs
+    [d*n_chunks, (d+1)*n_chunks), the same node ownership as
+    ``partition_edges_halo_stream``.  Communication is (n-1)*N feature
+    rows per layer regardless of complex locality."""
+    assert part.n_shards % n_devices == 0
+    n_chunks = part.n_shards // n_devices
+    ncs = part.nodes_per_shard            # nodes per CHUNK here
+    eC = part.e_shard
+    has_na = node_attr is not None
+    has_ea = edge_attr is not None
+
+    def shard_fn(h_local, ei_local, mask_local, *rest):
+        it = iter(rest)
+        na_local = next(it) if has_na else None
+        ea_local = next(it) if has_ea else None
+        h_full = jax.lax.all_gather(h_local, axis, axis=0, tiled=True)
+        dev = jax.lax.axis_index(axis)
+        ei3 = ei_local.reshape(n_chunks, eC, 2)
+        m2 = mask_local.reshape(n_chunks, eC)
+        ea3 = (ea_local.reshape(n_chunks, eC, *ea_local.shape[1:])
+               if has_ea else None)
+
+        def chunk_fn(params, h_full, h_local, na_local, edges, m, ea, c):
+            src = edges[:, 0]                 # GLOBAL ids
+            dst = edges[:, 1]                 # GLOBAL ids (sorted)
+            h_j = jnp.take(h_full, src, axis=0)
+            local_dst = dst - (dev * n_chunks + c) * ncs
+            h_own = jax.lax.dynamic_slice_in_dim(h_local, c * ncs, ncs,
+                                                 axis=0)
+            agg = egcl.apply(params, h_own, h_j, ea, local_dst, ncs, m,
+                             method=EGCL.message_aggregate)
+            na_own = (jax.lax.dynamic_slice_in_dim(na_local, c * ncs, ncs,
+                                                   axis=0)
+                      if na_local is not None else None)
+            out = egcl.apply(params, h_own, agg, na_own,
+                             method=EGCL.update)
+            if chunk_reduce is not None:
+                return chunk_reduce(out)
+            return out
+
+        if remat:
+            chunk_fn = jax.checkpoint(chunk_fn, static_argnums=())
+
+        def body(acc, xs):
+            if has_ea:
+                edges, m, ea, c = xs
+            else:
+                (edges, m, c), ea = xs, None
+            res = chunk_fn(params, h_full, h_local, na_local, edges, m,
+                           ea, c)
+            if chunk_reduce is not None:
+                return acc + res, None
+            return acc, res
+
+        xs = (ei3, m2, ea3, jnp.arange(n_chunks)) if has_ea \
+            else (ei3, m2, jnp.arange(n_chunks))
+        acc0 = jax.lax.pcast(jnp.zeros((), jnp.float32), (axis,),
+                             to="varying")
+        acc, outs = jax.lax.scan(body, acc0, xs)
+        if chunk_reduce is not None:
+            return jax.lax.psum(acc, axis)
+        return outs.reshape(n_chunks * ncs, *outs.shape[2:])
+
+    if arrays is not None:
+        ei_arr, mask_arr = arrays
+    else:
+        ei_arr = jnp.asarray(part.edge_index)
+        mask_arr = jnp.asarray(part.edge_mask)
+    args = [h, ei_arr, mask_arr]
+    specs = [P(axis)] * 3
+    if has_na:
+        args.append(node_attr)
+        specs.append(P(axis))
+    if has_ea:
+        args.append(edge_attr)
+        specs.append(P(axis))
+    from jax import shard_map as _shard_map
+
+    out_spec = P() if chunk_reduce is not None else P(axis)
+    fn = _shard_map(shard_fn, mesh=mesh, in_specs=tuple(specs),
+                    out_specs=out_spec)
+    return fn(*args)
+
+
 def make_synthetic_complex(n_nodes: int, avg_degree: int,
                            seed: int = 0,
                            locality: Optional[int] = None) -> np.ndarray:
@@ -627,5 +729,12 @@ def make_synthetic_complex(n_nodes: int, avg_degree: int,
     else:
         off = rng.randint(-locality, locality + 1, size=n_edges)
         src = (dst + off) % n_nodes
+    # no self-loops: real lifted complexes connect DISTINCT simplices
+    # (boundary/coboundary/0-0 augmentation all exclude i==i), and a
+    # self-loop's message input is exactly 0 — the smooth-abs-sqrt kink
+    # (clifford.py eps=1e-16) where f32 gradients are ill-conditioned
+    # (~1e8 intermediate cotangents that cancel in exact arithmetic but
+    # leave O(1) f32 residue, order-dependent across partitionings)
+    src = np.where(src == dst, (src + 1) % n_nodes, src)
     order = np.lexsort((src, dst))
     return np.stack([src[order], dst[order]])

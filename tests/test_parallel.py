@@ -486,3 +486,48 @@ class TestShardedStreaming:
                                            node_attr=na, edge_attr=ea_slab)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-4, atol=2e-5)
+
+    def test_allgather_streaming_matches(self, mesh):
+        from csmpn_tpu.parallel.edge_partition import (
+            partition_edges,
+            sharded_streaming_egcl_apply_allgather,
+        )
+
+        n_nodes = 32
+        ei = make_synthetic_complex(n_nodes, 4, seed=37)
+        rng = np.random.RandomState(8)
+        h = jnp.asarray(rng.randn(n_nodes, 3, 8), jnp.float32)
+        egcl = EGCL(ALG, 3, 4, 3, aggr="mean")
+        params = egcl.init(jax.random.PRNGKey(11), h, jnp.asarray(ei))
+        ref = egcl.apply(params, h, jnp.asarray(ei))
+        part = partition_edges(ei, n_nodes, 4 * 2)   # 4 devices x 2 chunks
+        out = sharded_streaming_egcl_apply_allgather(
+            egcl, params, h, part, mesh, 4)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_allgather_streaming_grad_and_reduce(self, mesh):
+        from csmpn_tpu.parallel.edge_partition import (
+            partition_edges,
+            sharded_streaming_egcl_apply_allgather,
+        )
+
+        n_nodes = 16
+        ei = make_synthetic_complex(n_nodes, 3, seed=38)
+        rng = np.random.RandomState(9)
+        h = jnp.asarray(rng.randn(n_nodes, 2, 8), jnp.float32)
+        egcl = EGCL(ALG, 2, 3, 2, aggr="sum")
+        params = egcl.init(jax.random.PRNGKey(12), h, jnp.asarray(ei))
+        part = partition_edges(ei, n_nodes, 4 * 2)
+
+        def red(out):
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        v_ref, g_ref = jax.value_and_grad(lambda hh: red(
+            egcl.apply(params, hh, jnp.asarray(ei))))(h)
+        v_ag, g_ag = jax.value_and_grad(
+            lambda hh: sharded_streaming_egcl_apply_allgather(
+                egcl, params, hh, part, mesh, 4, chunk_reduce=red))(h)
+        np.testing.assert_allclose(float(v_ag), float(v_ref), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(g_ag), np.asarray(g_ref),
+                                   rtol=5e-4, atol=1e-5)
