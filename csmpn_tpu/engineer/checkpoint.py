@@ -100,6 +100,30 @@ class Checkpoint:
     def _is_master(self) -> bool:
         return jax.process_index() == 0
 
+    def save_last(self, trainer, state):
+        """Write the LATEST (params, opt_state) to ``<dir>/last`` —
+        called by the Trainer when a run stops (max_time / max_rss_gb /
+        max_steps) so segmented runs resume from where they left off
+        rather than from the last best-val improvement."""
+        if not (self._is_master and trainer.logger is not None
+                and trainer.logger.dir is not None):
+            return
+        params, opt_state = state
+        os.makedirs(trainer.logger.dir, exist_ok=True)
+        save_path = os.path.abspath(
+            os.path.join(trainer.logger.dir, "last"))
+        if os.path.exists(save_path):
+            shutil.rmtree(save_path)
+        _ckptr().save(os.path.join(save_path, "state"),
+                      {"params": _to_host(params),
+                       "opt_state": _to_host(opt_state)})
+        with open(os.path.join(save_path, "meta.json"), "w") as f:
+            json.dump({"metrics": self.best_metrics,
+                       "epoch": trainer.current_epoch,
+                       "step": trainer.global_step}, f)
+        print(f"Saved latest-state checkpoint to {save_path} "
+              f"(step {trainer.global_step}).")
+
     def on_test_end(self, trainer, state, metrics, *args, **kwargs):
         should_write = (
             self._is_master

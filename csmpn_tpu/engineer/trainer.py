@@ -116,6 +116,7 @@ class Trainer:
         profile_steps: tuple = (8, 12),
         steps_per_dispatch: int = 1,
         eval_batches_per_dispatch: int = 1,
+        max_rss_gb: float = 48.0,
     ):
         callbacks = list(callbacks or [])
         if logger is None:
@@ -151,6 +152,7 @@ class Trainer:
         self.skip_initial_eval = skip_initial_eval
         self.mesh = mesh
         self.donate = donate
+        self.max_rss_gb = max_rss_gb
         # jax.profiler trace capture window (SURVEY.md §5: the reference has
         # no tracing beyond s_it; this is the superset)
         self.profile_dir = profile_dir
@@ -269,7 +271,28 @@ class Trainer:
         if self.max_steps is not None and self.global_step >= self.max_steps:
             print("Stopping due to max_steps.")
             return True
+        if self.max_rss_gb and self._rss_gb() > self.max_rss_gb:
+            # host-memory self-guard: the remote-execution relay client
+            # leaks host buffers proportional to dispatched bytes
+            # (observed ~800 KB/step at MD17 batch sizes -> an 87 GB RSS
+            # OOM kill at 108k steps).  Stop cleanly like max_time so the
+            # run can be resumed from the orbax checkpoint in a fresh
+            # process instead of dying to the kernel OOM killer.
+            print(f"Stopping due to max_rss_gb "
+                  f"({self._rss_gb():.1f} > {self.max_rss_gb} GB).")
+            return True
         return False
+
+    @staticmethod
+    def _rss_gb() -> float:
+        try:
+            with open("/proc/self/status") as f:
+                for line in f:
+                    if line.startswith("VmRSS"):
+                        return int(line.split()[1]) / 1e6
+        except OSError:
+            pass
+        return 0.0
 
     def test_loop(self, params, test_loader, validation=False):
         metrics = self._test_metrics
@@ -515,4 +538,11 @@ class Trainer:
         # batches fetched into a partial group when the stop fired were
         # never trained on; dropping them keeps global_step == trained
         # steps (max_steps stops land on group boundaries anyway)
+        #
+        # save a LATEST-state checkpoint alongside the best-val ones so
+        # segmented runs (max_time / max_rss_gb stops) resume without
+        # replaying the steps since the last val improvement
+        if self.checkpoint is not None and hasattr(self.checkpoint,
+                                                   "save_last"):
+            self.checkpoint.save_last(self, self._state)
         return self._state[0]
