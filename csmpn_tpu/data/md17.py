@@ -89,9 +89,15 @@ def preprocess_raw(data_dir: str, molecule_type: str) -> bool:
 
 
 def _synthesize_raw(data_dir: str, molecule_type: str, seed: int = 11,
-                    T: int = 4001) -> None:
+                    T: int = 120001) -> None:
     """Seeded stand-in ``md17_<mol>.npz`` in the reference key layout, with
-    the molecule's real heavy-atom formula plus hydrogens."""
+    the molecule's real heavy-atom formula plus hydrogens.
+
+    T=120001 frames -> ~3000 sliced 20-frame trajectories (~1875 train),
+    enough that the reference bs=100 budget sees real batch diversity
+    (the r4 T=4001 stand-in produced ~105 train samples = ONE batch per
+    epoch, making 150k-step convergence evidence nearly a memorization
+    test; the real md17_<mol>.npz files are ~550k frames)."""
     rng = np.random.RandomState(seed)
     heavy = _HEAVY_Z.get(molecule_type, [6, 6, 8])
     z = np.asarray(heavy + [1] * len(heavy))
