@@ -262,3 +262,36 @@ def test_fused_mp_cl5_pair_form():
     for a, b in zip(jax.tree.leaves(g_out), jax.tree.leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=3e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("bands", [2, 4])
+def test_fused_mp_banded_forward_and_grads(bands, monkeypatch):
+    """Banded one-hot window matmuls (CSMPN_ONEHOT_BANDS) must be exactly
+    the full-width computation with untouched bands skipped — fwd and all
+    grads vs the composed reference, masked edges interspersed."""
+    monkeypatch.setenv("CSMPN_ONEHOT_BANDS", str(bands))
+    alg, cemlp, params, h, hj, attr, dst, _, mask = _setup(seed=3)
+    ref = _composed(cemlp, params, h, hj, attr, dst, mask, True)
+    out = _fused(cemlp, params, h, hj, attr, dst, mask, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+    cot = jnp.asarray(
+        np.random.RandomState(9).randn(h.shape[0], 4, alg.n_blades),
+        jnp.float32)
+
+    def loss_composed(params, h, hj, attr):
+        return jnp.sum(
+            _composed(cemlp, params, h, hj, attr, dst, mask, True) * cot)
+
+    def loss_fused(params, h, hj, attr):
+        return jnp.sum(
+            _fused(cemlp, params, h, hj, attr, dst, mask, True) * cot)
+
+    g_ref = jax.grad(loss_composed, argnums=(0, 1, 2, 3))(
+        params, h, hj, attr)
+    g_out = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(
+        params, h, hj, attr)
+    for a, b in zip(jax.tree.leaves(g_out), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
