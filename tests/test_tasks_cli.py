@@ -132,3 +132,51 @@ class TestTaskEntrypoints:
         assert "Successfully restored state" in proc.stdout
         assert "Testing mode." in proc.stdout
         assert "test/loss" in proc.stdout
+
+    def test_hulls_segmented_resume_from_last(self, tmp_path):
+        """Segmented-run workflow (max_rss_gb / max_time stops): the first
+        invocation stops and writes a latest-state checkpoint
+        (<run>/last); a second invocation with --trainer.checkpoint=
+        <run>/last resumes at the saved global step and finishes the
+        budget — the relaunch loop runs/queue_r5b.sh relies on."""
+        import glob
+
+        hulls_args = [
+            "--dataset.module=csmpn_tpu.data.hulls.ConvexHullDataset",
+            "--dataset.num_samples=8", "--dataset.batch_size=4",
+            "--dataset.num_val_samples=4",
+            "--model.module=csmpn_tpu.models.hulls.HullsModel",
+            "--model.hidden_features=4", "--model.num_layers=1",
+        ]
+        out = run_task("csmpn_tpu.tasks.hulls", hulls_args, str(tmp_path))
+        assert "Saved latest-state checkpoint" in out
+        lasts = glob.glob(os.path.join(str(tmp_path), "runs", "*", "last"))
+        assert lasts, f"no last checkpoint written; out: {out[-1500:]}"
+
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["DATAROOT"] = str(tmp_path)
+        env["RUNDIR"] = os.path.join(str(tmp_path), "runs")
+        env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(REPO, ".jax_cache")
+        env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0"
+        env["JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES"] = "-1"
+        cmd = [
+            sys.executable, "-m", "csmpn_tpu.tasks.hulls",
+            "--run_name=seg2",
+            "--trainer.module=csmpn_tpu.engineer.Trainer",
+            "--trainer.max_steps=10",
+            "--trainer.val_check_interval=4",
+            "--trainer.print_interval=1",
+            "--trainer.limit_val_batches=1",
+            f"--trainer.checkpoint={lasts[0]}",
+            "--optimizer.module=csmpn_tpu.engineer.optim.adam",
+        ] + hulls_args
+        proc = subprocess.run(cmd, cwd=REPO, env=env, capture_output=True,
+                              text=True, timeout=540)
+        assert proc.returncode == 0, \
+            proc.stdout[-3000:] + proc.stderr[-3000:]
+        assert "Successfully restored state" in proc.stdout
+        # resumed at step 6 (the first run's max_steps), not step 0
+        assert "Set global step to 6." in proc.stdout
+        assert "Step: 6 (Training)" in proc.stdout
+        assert "Stopping due to max_steps." in proc.stdout
