@@ -48,8 +48,12 @@ run_seg() {  # $1=run_name $2=stage_budget_s; rest = task cmd args
     wait_relay
     log "$NAME segment $SEG start (max_time $(maxt "$LEFT"), ckpt: $(ckpt_flag "$NAME"))"
     local S0=$(date +%s)
-    timeout $(( LEFT + 600 )) python "$@" \
-      --run_name="$NAME" \
+    # --run_name FIRST after the module: the run-dir name is the argv
+    # string truncated at 96 chars (engineer/config.py get_run_name) —
+    # with run_name last it was truncated away and ckpt_flag could never
+    # find the checkpoints
+    timeout $(( LEFT + 600 )) python "$1" "$2" \
+      "--run_name=$NAME" "${@:3}" \
       --trainer.max_time="$(maxt "$LEFT")" \
       $(ckpt_flag "$NAME") \
       >> "runs/$NAME.log" 2>&1
