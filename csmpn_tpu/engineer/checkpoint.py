@@ -105,18 +105,24 @@ class Checkpoint:
         called by the Trainer when a run stops (max_time / max_rss_gb /
         max_steps) so segmented runs resume from where they left off
         rather than from the last best-val improvement."""
-        if not (self._is_master and trainer.logger is not None
-                and trainer.logger.dir is not None):
+        if trainer.logger is None or trainer.logger.dir is None:
             return
         params, opt_state = state
-        os.makedirs(trainer.logger.dir, exist_ok=True)
         save_path = os.path.abspath(
             os.path.join(trainer.logger.dir, "last"))
-        if os.path.exists(save_path):
-            shutil.rmtree(save_path)
+        if self._is_master:
+            os.makedirs(trainer.logger.dir, exist_ok=True)
+        # orbax ``save`` is a COLLECTIVE under jax.process_count() > 1
+        # (it runs sync_global_processes); EVERY rank must enter it or
+        # the master deadlocks in the barrier.  The run dir is shared
+        # (ConsoleLogger derives it deterministically on every rank);
+        # force=True lets orbax replace a previous segment's state.
         _ckptr().save(os.path.join(save_path, "state"),
                       {"params": _to_host(params),
-                       "opt_state": _to_host(opt_state)})
+                       "opt_state": _to_host(opt_state)},
+                      force=True)
+        if not self._is_master:
+            return
         with open(os.path.join(save_path, "meta.json"), "w") as f:
             json.dump({"metrics": self.best_metrics,
                        "epoch": trainer.current_epoch,
@@ -125,43 +131,47 @@ class Checkpoint:
               f"(step {trainer.global_step}).")
 
     def on_test_end(self, trainer, state, metrics, *args, **kwargs):
-        should_write = (
-            self._is_master
-            and trainer.logger is not None
-            and trainer.logger.dir is not None)
+        # metrics arrive AFTER the cross-process gather (metrics.py), so
+        # every rank sees identical values and takes the same branch —
+        # required because the orbax save below is a collective.
+        can_write = (trainer.logger is not None
+                     and trainer.logger.dir is not None)
         for m, best in self.best_metrics.items():
             if m not in metrics:
                 continue
             value = float(metrics[m])
             if value < best:
                 self.best_metrics[m] = value
-                if should_write:
+                if can_write:
                     params, opt_state = state
                     alias = f"best_{m.replace('/', '_')}"
-                    os.makedirs(trainer.logger.dir, exist_ok=True)
                     # orbax/tensorstore requires absolute paths
                     save_path = os.path.abspath(
                         os.path.join(trainer.logger.dir, alias))
-                    if os.path.exists(save_path):
-                        shutil.rmtree(save_path)
+                    if self._is_master:
+                        os.makedirs(trainer.logger.dir, exist_ok=True)
+                    # collective (see save_last): all ranks enter; orbax
+                    # itself only writes from the primary host.
                     _ckptr().save(
                         os.path.join(save_path, "state"),
                         {"params": _to_host(params),
-                         "opt_state": _to_host(opt_state)})
-                    with open(os.path.join(save_path, "meta.json"),
-                              "w") as f:
-                        json.dump({"metrics": self.best_metrics,
-                                   "epoch": trainer.current_epoch,
-                                   "step": trainer.global_step}, f)
-                    if m in self.save_paths \
-                            and self.save_paths[m] != save_path:
-                        stale = self.save_paths[m]
-                        if os.path.isdir(stale):
-                            shutil.rmtree(stale)
-                        elif os.path.exists(stale):
-                            os.remove(stale)
+                         "opt_state": _to_host(opt_state)},
+                        force=True)
+                    if self._is_master:
+                        with open(os.path.join(save_path, "meta.json"),
+                                  "w") as f:
+                            json.dump({"metrics": self.best_metrics,
+                                       "epoch": trainer.current_epoch,
+                                       "step": trainer.global_step}, f)
+                        if m in self.save_paths \
+                                and self.save_paths[m] != save_path:
+                            stale = self.save_paths[m]
+                            if os.path.isdir(stale):
+                                shutil.rmtree(stale)
+                            elif os.path.exists(stale):
+                                os.remove(stale)
+                        print(f"Metric {m} improved to {value:.4f}; "
+                              f"saved checkpoint to {save_path}. "
+                              f"Scheduling test loop.")
                     self.save_paths[m] = save_path
-                    print(f"Metric {m} improved to {value:.4f}; saved "
-                          f"checkpoint to {save_path}. Scheduling test "
-                          f"loop.")
                 trainer.should_test = True

@@ -116,7 +116,7 @@ class Trainer:
         profile_steps: tuple = (8, 12),
         steps_per_dispatch: int = 1,
         eval_batches_per_dispatch: int = 1,
-        max_rss_gb: float = 48.0,
+        max_rss_gb: float = 0.0,
     ):
         callbacks = list(callbacks or [])
         if logger is None:
@@ -272,12 +272,15 @@ class Trainer:
             print("Stopping due to max_steps.")
             return True
         if self.max_rss_gb and self._rss_gb() > self.max_rss_gb:
-            # host-memory self-guard: the remote-execution relay client
+            # OPT-IN host-memory self-guard (0 = off, the default — a
+            # long-lived host process, e.g. a test session, can carry a
+            # large legitimate RSS): the remote-execution relay client
             # leaks host buffers proportional to dispatched bytes
             # (observed ~800 KB/step at MD17 batch sizes -> an 87 GB RSS
-            # OOM kill at 108k steps).  Stop cleanly like max_time so the
-            # run can be resumed from the orbax checkpoint in a fresh
-            # process instead of dying to the kernel OOM killer.
+            # OOM kill at 108k steps), so unattended chip runs pass
+            # --trainer.max_rss_gb to stop cleanly like max_time and
+            # resume from the orbax checkpoint in a fresh process
+            # instead of dying to the kernel OOM killer.
             print(f"Stopping due to max_rss_gb "
                   f"({self._rss_gb():.1f} > {self.max_rss_gb} GB).")
             return True

@@ -71,6 +71,10 @@ from csmpn_tpu.parallel.mesh import make_mesh
 # per-process DATAROOT: generation is seed-deterministic, so both ranks
 # materialize identical splits without racing on one cache file
 os.environ["DATAROOT"] = {dataroot!r} + f"/r{{rank}}"
+# ... but ONE shared run dir: orbax checkpoint saves are collectives
+# (all ranks enter, primary host writes) — regression for the r5
+# master-only-save deadlock in Checkpoint.save_last/on_test_end
+os.environ["RUNDIR"] = {dataroot!r} + "/runs"
 ds = ConvexHullDataset(num_samples=8, num_val_samples=4, batch_size=2)
 
 # each process loads only ITS dataset shard (DistributedSampler equiv.)
@@ -83,10 +87,17 @@ batch = next(iter(train_loader))
 params = model.init(jax.random.PRNGKey(0), batch)
 optimizer = adam(lr=1e-3)
 
-trainer = Trainer(max_steps=2, val_check_interval=10**6,
+trainer = Trainer(max_steps=2, val_check_interval=1,
                   log_interval=10**6, print_interval=1,
                   mesh=make_mesh(), donate=False)
-params = trainer.fit(model, params, optimizer, train_loader)
+params = trainer.fit(model, params, optimizer, train_loader,
+                     val_loader=ds.val_loader(seed=0))
+
+# both checkpoint flavors must exist: best-val (on_test_end) + last
+run_dir = {dataroot!r} + "/runs/run"
+for alias in ("best_val_loss", "last"):
+    assert os.path.isdir(os.path.join(run_dir, alias, "state")), alias
+    assert os.path.isfile(os.path.join(run_dir, alias, "meta.json")), alias
 
 # replicated params: every process must hold bit-identical values
 leaves = jax.tree.leaves(jax.device_get(params))
