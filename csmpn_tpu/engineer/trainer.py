@@ -14,6 +14,7 @@ import time
 from typing import Any, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import optax
 
@@ -94,6 +95,21 @@ def _parse_max_time(time_str: Optional[str]):
     return datetime.timedelta(days=days, hours=h, minutes=m, seconds=s)
 
 
+class _IndexIterView:
+    """Iteration view over a Loader that yields per-batch int32 sample
+    indices instead of materialized batches (trainer ``device_data``
+    mode — the batch gather happens on-device)."""
+
+    def __init__(self, loader):
+        self._loader = loader
+
+    def __len__(self) -> int:
+        return len(self._loader)
+
+    def __iter__(self):
+        return self._loader.index_iter()
+
+
 class Trainer:
     def __init__(
         self,
@@ -117,6 +133,7 @@ class Trainer:
         steps_per_dispatch: int = 1,
         eval_batches_per_dispatch: int = 1,
         max_rss_gb: float = 0.0,
+        device_data: bool = False,
     ):
         callbacks = list(callbacks or [])
         if logger is None:
@@ -166,6 +183,16 @@ class Trainer:
         # per dispatch (metric updates are unaffected — outputs are
         # unstacked on the host)
         self.eval_batches_per_dispatch = int(eval_batches_per_dispatch)
+        # device-resident TRAIN data: the whole stacked dataset lives in
+        # HBM and each dispatch ships only (K, B) int32 sample indices,
+        # gathered on-device inside the jitted step.  Cuts host->device
+        # traffic ~1000x (a batch is ~KBs of indices instead of ~MBs of
+        # arrays) — this is what feeds the relay client's host-buffer
+        # leak (see max_rss_gb below), so long runs no longer need
+        # segmenting.  Eval keeps the host path (its volume is
+        # negligible).  Single-process, unmeshed runs only.
+        self.device_data = bool(device_data)
+        self._dev_train_data = None
 
         self.global_step = 0
         self.current_epoch = 0
@@ -253,9 +280,34 @@ class Trainer:
             _, outputs = jax.lax.scan(body, 0, batches)
             return outputs
 
+        # device-resident data variants: the batch is gathered on-device
+        # from the HBM-resident stacked dataset; only the int32 index
+        # stream crosses the host->device boundary per dispatch
+        def gather_batch(data, idx):
+            return jax.tree.map(lambda x: jnp.take(x, idx, axis=0), data)
+
+        def train_step_idx(params, opt_state, data, idx, step):
+            return train_step(params, opt_state,
+                              gather_batch(data, idx), step)
+
+        def multi_step_idx(params, opt_state, data, idxs, step0):
+            def body(carry, idx):
+                params, opt_state, i = carry
+                p2, o2, loss, outputs = train_step(
+                    params, opt_state, gather_batch(data, idx), step0 + i)
+                return (p2, o2, i + 1), (loss, outputs)
+
+            (params, opt_state, _), (losses, outputs) = jax.lax.scan(
+                body, (params, opt_state, 0), idxs)
+            return params, opt_state, losses, outputs
+
         donate = (0, 1) if self.donate else ()
         self._train_step_fn = jax.jit(train_step, donate_argnums=donate)
         self._multi_step_fn = jax.jit(multi_step, donate_argnums=donate)
+        self._train_step_idx_fn = jax.jit(train_step_idx,
+                                          donate_argnums=donate)
+        self._multi_step_idx_fn = jax.jit(multi_step_idx,
+                                          donate_argnums=donate)
         self._eval_step_fn = jax.jit(eval_step)
         self._multi_eval_fn = jax.jit(multi_eval)
 
@@ -387,14 +439,20 @@ class Trainer:
         import numpy as _np
 
         k = len(batches)
-        stacked = jax.tree.map(lambda *xs: _np.stack(xs), *batches)
-        if self.mesh is not None:
-            from ..parallel.mesh import shard_stacked
-
-            stacked = shard_stacked(stacked, self.mesh)
         params, opt_state = self._state
-        params, opt_state, losses, outputs = self._multi_step_fn(
-            params, opt_state, stacked, self.global_step)
+        if self._dev_train_data is not None:
+            idxs = _np.stack(batches)          # (K, B) int32
+            params, opt_state, losses, outputs = self._multi_step_idx_fn(
+                params, opt_state, self._dev_train_data, idxs,
+                self.global_step)
+        else:
+            stacked = jax.tree.map(lambda *xs: _np.stack(xs), *batches)
+            if self.mesh is not None:
+                from ..parallel.mesh import shard_stacked
+
+                stacked = shard_stacked(stacked, self.mesh)
+            params, opt_state, losses, outputs = self._multi_step_fn(
+                params, opt_state, stacked, self.global_step)
         self._state = (params, opt_state)
         outputs = self._fetch_outputs(outputs)
         losses = _np.asarray(jax.device_get(losses))
@@ -413,9 +471,14 @@ class Trainer:
     def train_step(self, batch):
         self._maybe_profile()
         params, opt_state = self._state
-        batch = self._shard_batch(batch)
-        params, opt_state, loss, outputs = self._train_step_fn(
-            params, opt_state, batch, self.global_step)
+        if self._dev_train_data is not None:
+            params, opt_state, loss, outputs = self._train_step_idx_fn(
+                params, opt_state, self._dev_train_data, batch,
+                self.global_step)
+        else:
+            batch = self._shard_batch(batch)
+            params, opt_state, loss, outputs = self._train_step_fn(
+                params, opt_state, batch, self.global_step)
         self._state = (params, opt_state)
         outputs = self._fetch_outputs(outputs)
         self._train_metrics.update(**outputs)
@@ -441,6 +504,19 @@ class Trainer:
             params, opt_state = replicate((params, opt_state), self.mesh)
         self._state = (params, opt_state)
         self._build_steps(model, optimizer)
+        if self.device_data:
+            if self.mesh is not None or jax.process_count() > 1:
+                raise ValueError(
+                    "trainer.device_data supports single-process unmeshed "
+                    "runs only (the stacked dataset is placed on one "
+                    "device); drop the flag or the mesh.")
+            if not hasattr(train_loader, "index_iter"):
+                raise ValueError(
+                    "trainer.device_data needs a Loader over a "
+                    "SimplicialArrayDataset (index_iter missing).")
+            self._dev_train_data = jax.device_put(
+                train_loader.dataset.arrays)
+            train_loader = _IndexIterView(train_loader)
         self._train_metrics = self._make_metrics(model)
         self._test_metrics = self._make_metrics(model)
 

@@ -88,6 +88,48 @@ class TestTraining:
         restored_loss, _ = model.apply(state[0], batch)
         assert np.isfinite(float(restored_loss))
 
+    def test_device_data_matches_host(self, dataset, model, tmp_path):
+        """trainer.device_data (HBM-resident dataset + on-device batch
+        gather from a shipped index stream) must reproduce the host
+        batch path exactly: same loader seed => same index sequence =>
+        identical gathered batches => identical parameters."""
+        def run(device_data, spd):
+            train_loader = dataset.train_loader(seed=7)
+            batch = next(iter(dataset.train_loader(seed=7)))
+            params = model.init(jax.random.PRNGKey(1), batch)
+            trainer = Trainer(
+                max_steps=6, val_check_interval=10**6,
+                print_interval=10**6, log_interval=10**6,
+                steps_per_dispatch=spd, device_data=device_data,
+                logger=ConsoleLogger(
+                    dir=str(tmp_path / f"run_{device_data}_{spd}")),
+                donate=False,
+            )
+            return trainer.fit(model, params, adam(lr=1e-3),
+                               train_loader)
+
+        host = run(False, 3)
+        dev_grouped = run(True, 3)
+        dev_single = run(True, 1)
+        for a, b in zip(jax.tree.leaves(host),
+                        jax.tree.leaves(dev_grouped)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(host),
+                        jax.tree.leaves(dev_single)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_device_data_rejects_mesh(self, dataset, model):
+        from csmpn_tpu.parallel.mesh import make_mesh
+
+        train_loader = dataset.train_loader(seed=0)
+        batch = next(iter(dataset.train_loader(seed=0)))
+        params = model.init(jax.random.PRNGKey(0), batch)
+        trainer = Trainer(max_steps=2, val_check_interval=10**6,
+                          print_interval=10**6, log_interval=10**6,
+                          mesh=make_mesh(), device_data=True)
+        with pytest.raises(ValueError, match="single-process unmeshed"):
+            trainer.fit(model, params, adam(lr=1e-3), train_loader)
+
     def test_nan_detection(self, dataset, model):
         train_loader = dataset.train_loader()
         batch = next(iter(train_loader))
