@@ -586,6 +586,10 @@ class Trainer:
                         train_metrics["lr"] = float(
                             self.scheduler(self.global_step))
                     train_metrics["epoch"] = self.current_epoch
+                    # host-RSS observability: makes the relay client's
+                    # per-dispatched-byte leak (and the device_data
+                    # mode's flat profile) visible in every run log
+                    train_metrics["host_rss_gb"] = self._rss_gb()
                     if self.logger:
                         self.logger.log_metrics(
                             self._add_prefix(train_metrics, "train"),
