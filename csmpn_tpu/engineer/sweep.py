@@ -23,6 +23,19 @@ def expand_grid(config: Dict) -> List[Dict]:
             for combo in itertools.product(*values)]
 
 
+def _program_invocation(program: str) -> str:
+    """In-repo task scripts must run as MODULES (``-m pkg.mod``): invoked
+    as files (``python csmpn_tpu/tasks/md17.py``) sys.path[0] is the
+    tasks/ dir, so ``import csmpn_tpu`` fails — and PYTHONPATH cannot
+    compensate because setting it breaks the ambient TPU PJRT plugin
+    registration (NOTES.md).  Paths outside the package pass through."""
+    if program.endswith(".py") and "/" in program:
+        mod = program[:-3].replace("/", ".")
+        if mod.split(".")[0] == "csmpn_tpu":
+            return f"-m {mod}"
+    return program
+
+
 def build_commands(config: Dict, extra_args: List[str]) -> List[str]:
     base = []
     for c in config["command"]:
@@ -31,7 +44,7 @@ def build_commands(config: Dict, extra_args: List[str]) -> List[str]:
         elif c == "${interpreter}":
             base.append("python -u")
         elif c == "${program}":
-            base.append(config["program"])
+            base.append(_program_invocation(config["program"]))
         elif c == "${args}":
             continue
         else:
@@ -185,7 +198,11 @@ def sweep_wandb(config_path: str, wandb_module=None, run_git=None,
 
 
 def main() -> None:
-    sys.exit(sweep_local(sys.argv[1], sys.argv[2:]))
+    argv = sys.argv[1:]
+    dry = "--dry_run" in argv
+    if dry:
+        argv = [a for a in argv if a != "--dry_run"]
+    sys.exit(sweep_local(argv[0], argv[1:], dry_run=dry))
 
 
 def main_cluster() -> None:

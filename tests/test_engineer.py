@@ -150,6 +150,40 @@ class TestSweep:
         assert any("--lr=0.1" in c for c in cmds)
         assert any("--lr=0.2" in c for c in cmds)
 
+    def test_in_repo_programs_run_as_modules(self, tmp_path):
+        """Task scripts invoked as FILES cannot import csmpn_tpu
+        (sys.path[0] becomes tasks/, and PYTHONPATH must stay unset for
+        the TPU plugin — NOTES.md), so build_commands must emit the
+        ``-m`` module form for in-repo programs."""
+        cfg = {
+            "program": "csmpn_tpu/tasks/md17.py",
+            "command": ["${env}", "${interpreter}", "${program}",
+                        "${args}"],
+            "parameters": {},
+        }
+        (cmd,) = build_commands(cfg, [])
+        assert "python -u -m csmpn_tpu.tasks.md17" in cmd
+        # out-of-repo programs pass through untouched
+        cfg["program"] = "some/other/script.py"
+        (cmd,) = build_commands(cfg, [])
+        assert "some/other/script.py" in cmd and " -m " not in cmd
+
+    def test_shipped_configs_expand(self):
+        """Every shipped sweep yaml must parse and expand into runnable
+        module-form commands (the reference user's entry point:
+        ``python -m csmpn_tpu.engineer.sweep configs/<task>.yaml``)."""
+        import os
+
+        import yaml
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        for task in ("hulls", "motion", "md17", "nba"):
+            with open(os.path.join(root, "configs", f"{task}.yaml")) as f:
+                cfg = yaml.safe_load(f)
+            cmds = build_commands(cfg, [])
+            assert cmds, task
+            assert all(f"-m csmpn_tpu.tasks.{task}" in c for c in cmds), task
+
 
 class TestWandbSweep:
     """Reference `sweep` console flow (sweep.py:127-200): wandb sweep
